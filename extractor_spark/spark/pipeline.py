@@ -1,0 +1,211 @@
+"""End-to-end extract pipeline (reference A1 composed Spark-first, plus the
+scale engineering the north rule mandates: dedup-latest window, host
+salting, resumable per-bucket manifest with lineage + metrics).
+
+Dataflow (SURVEY.md §3.1 Spark lifecycle):
+
+    scan pages (parquet/Iceberg)                    -- Catalyst pruning
+      → latest-crawl-per-url window dedup           -- shuffle on url
+      → bucket = pmod(xxhash64(url), n_buckets)     -- resume granularity
+      → anti-join vs manifest buckets               -- broadcast, ~free
+      → repartition(url_host, salt)                 -- defuses domain skew
+      → stage C (mapInPandas convert)               -- Arrow batches
+      → optional broadcast context join on url
+      → stage E (mapInPandas extract)
+      → write output partitioned by bucket
+      → append manifest rows (bucket, metrics, lineage)
+
+At 10^12-document scale every step stays shuffle-bounded: one shuffle for the
+dedup window, one for the skew repartition; the manifest join broadcasts
+(manifest ≪ data); output partitioning by bucket gives idempotent re-runs
+(dynamic partition overwrite replaces exactly the re-processed buckets).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from extractor_spark.engine.convert import HtmlExtractionOptions
+from extractor_spark.spark.stages import convert_stage, extract_stage, with_typed_data
+
+CODE_VERSION = "extractor-spark-0.1"
+
+
+@dataclass
+class PipelineConfig:
+    pages_path: str
+    output_path: str
+    manifest_path: str | None = None  # default: <output>/_manifest
+    schema: dict | None = None  # extraction schema; None = convert-only
+    html_options: HtmlExtractionOptions = field(default_factory=HtmlExtractionOptions)
+    n_buckets: int = 64
+    n_salt: int = 16
+    repartition: int | None = None  # default: spark.sql.shuffle.partitions
+    resume: bool = True
+    context_path: str | None = None  # optional (url, context_json) side table
+    custom_prompt: str | None = None
+    max_input_tokens: float | None = None
+
+    def resolved_manifest_path(self) -> str:
+        return self.manifest_path or os.path.join(self.output_path, "_manifest")
+
+
+def dedup_latest_per_url(pages: DataFrame) -> DataFrame:
+    """Keep the newest crawl of each url (engineered window op,
+    SURVEY.md §2.5): row_number over (url ⟶ warc_ts desc)."""
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def defuse_skew(df: DataFrame, n_salt: int, partitions: int | None) -> DataFrame:
+    """Spread hot hosts: repartition on (url_host, salt) so one domain's
+    pages land on n_salt partitions instead of one (BASELINE.json north
+    rule).  The convert/extract stages are maps, so this partitioning is
+    purely for work balance — correctness is unaffected."""
+    df = df.withColumn("url_host", F.expr("parse_url(url, 'HOST')")).withColumn(
+        "salt", F.pmod(F.xxhash64("url"), F.lit(n_salt)).cast("int")
+    )
+    if partitions:
+        return df.repartition(partitions, "url_host", "salt")
+    return df.repartition("url_host", "salt")
+
+
+def completed_buckets(spark: SparkSession, manifest_path: str) -> DataFrame | None:
+    try:
+        manifest = spark.read.parquet(manifest_path)
+        return manifest.select("bucket").distinct()
+    except Exception:
+        return None
+
+
+def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
+    """Execute (or resume) the pipeline; returns a run summary dict."""
+    started = time.time()
+    manifest_path = conf.resolved_manifest_path()
+
+    pages = spark.read.parquet(conf.pages_path)
+    pages = dedup_latest_per_url(pages)
+    pages = with_bucket(pages, conf.n_buckets)
+
+    skipped_buckets = 0
+    if conf.resume:
+        done = completed_buckets(spark, manifest_path)
+        if done is not None:
+            skipped_buckets = done.count()
+            # manifest is tiny — broadcast anti-join, no shuffle of the data
+            pages = pages.join(F.broadcast(done), "bucket", "left_anti")
+
+    pages = defuse_skew(pages, conf.n_salt, conf.repartition)
+
+    converted = convert_stage(
+        pages.select("url", "warc_ts", "html", "lang"),
+        conf.html_options,
+    )
+
+    if conf.schema is not None:
+        md = converted
+        if conf.context_path:
+            context = spark.read.parquet(conf.context_path)
+            md = md.join(F.broadcast(context), "url", "left")
+        # extract_stage passes all convert columns through — no self-join.
+        output = extract_stage(
+            md,
+            conf.schema,
+            custom_prompt=conf.custom_prompt,
+            max_input_tokens=conf.max_input_tokens,
+            context_column="context_json" if conf.context_path else None,
+        )
+        output = with_typed_data(output, conf.schema).drop("data_json")
+    else:
+        output = converted
+
+    output = with_bucket(output, conf.n_buckets)
+
+    # Dynamic partition overwrite: re-running a bucket replaces exactly that
+    # bucket's files — idempotent resume.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    output.write.mode("overwrite").partitionBy("bucket").parquet(conf.output_path)
+
+    # Manifest: one row per completed bucket with lineage + metrics,
+    # aggregated from the written output (second, cheap action).
+    written = spark.read.parquet(conf.output_path)
+    agg_cols = [
+        F.count("*").alias("docs_parsed"),
+        F.sum("html_bytes").alias("html_bytes"),
+        F.sum("boilerplate_bytes_removed").alias("boilerplate_bytes_removed"),
+        F.sum(F.when(F.col("convert_error").isNotNull(), 1).otherwise(0)).alias(
+            "convert_failures"
+        ),
+    ]
+    if conf.schema is not None:
+        agg_cols.append(
+            F.sum(F.when(F.col("extract_error").isNotNull(), 1).otherwise(0)).alias(
+                "schema_validation_failures"
+            )
+        )
+    else:
+        agg_cols.append(F.lit(0).alias("schema_validation_failures"))
+
+    run_ts = datetime.datetime.now(datetime.timezone.utc).isoformat()
+    manifest_rows = (
+        written.groupBy("bucket")
+        .agg(*agg_cols)
+        .withColumn("input_path", F.lit(conf.pages_path))
+        .withColumn("code_version", F.lit(CODE_VERSION))
+        .withColumn("run_ts", F.lit(run_ts))
+    )
+    manifest_rows.write.mode("overwrite").parquet(manifest_path)
+
+    wall = time.time() - started
+    totals = (
+        manifest_rows.agg(
+            F.sum("docs_parsed").alias("docs"),
+            F.sum("html_bytes").alias("bytes"),
+            F.sum("convert_failures").alias("convert_failures"),
+            F.sum("schema_validation_failures").alias("schema_failures"),
+        ).collect()[0]
+    )
+    return {
+        "docs": totals["docs"],
+        "html_bytes": totals["bytes"],
+        "convert_failures": totals["convert_failures"],
+        "schema_validation_failures": totals["schema_failures"],
+        "skipped_buckets": skipped_buckets,
+        "wall_seconds": wall,
+        "docs_per_sec": (totals["docs"] or 0) / wall if wall > 0 else None,
+        "output_path": conf.output_path,
+        "manifest_path": manifest_path,
+    }
+
+
+def summarize_metrics(spark: SparkSession, output_path: str) -> DataFrame:
+    """Host-level metric rollup over the output table (engineered agg op)."""
+    out = spark.read.parquet(output_path)
+    return (
+        out.withColumn("url_host", F.expr("parse_url(url, 'HOST')"))
+        .groupBy("url_host")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("html_bytes").alias("html_bytes"),
+            F.sum("markdown_chars").alias("markdown_chars"),
+            F.sum("boilerplate_bytes_removed").alias("boilerplate_bytes_removed"),
+        )
+        .orderBy(F.col("docs").desc())
+    )

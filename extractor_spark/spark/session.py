@@ -1,0 +1,51 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Tuned for the extract pipeline's shape: fat HTML rows moving into Python
+workers over Arrow (small record batches bound worker memory), AQE with skew
+handling on, shuffle parallelism matched to cores rather than the 200
+default.  The same settings translate to multi-executor clusters — only
+``master`` and the memory knobs change at spark-submit time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# HTML rows are fat (KBs–MBs); keep Arrow batches small so each Python worker
+# holds a bounded number of documents (SURVEY.md §4.2).
+DEFAULT_ARROW_BATCH_ROWS = 256
+
+
+def get_spark(
+    app_name: str = "extractor_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = DEFAULT_ARROW_BATCH_ROWS,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
