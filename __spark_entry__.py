@@ -1,38 +1,80 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extract pipeline over a deterministic synthetic
+``pages`` table (reference fixtures embedded) and returns the output
+DataFrame.  ``queries``/``oracle_sql`` expose the operator inventory of
+SURVEY.md §2 over the driver-provided tables with DuckDB oracles
+(extractor_spark/spark/queries.py); probabilistic scale-path ops
+(MinHash-LSH, SimHash, hyperplane LSH) are registered rows-only.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+BLOG_SCHEMA = {
+    "type": "object",
+    "required": ["title", "summary"],
+    "properties": {
+        "title": {"type": "string"},
+        "summary": {"type": "string", "optional": True},
+        "tags": {"type": "array", "items": {"type": "string"}, "optional": True},
+        "links": {
+            "type": "array",
+            "items": {"type": "string", "format": "uri"},
+            "optional": True,
+        },
+    },
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize pages (fixtures + boilerplate corpus) → dedup →
+    salt → convert (mapInPandas) → schema extraction → typed output."""
+    from extractor_spark.spark.pipeline import PipelineConfig, run_pipeline
+    from extractor_spark.spark.synth import write_pages
+
+    workdir = os.path.join(tempfile.gettempdir(), "extractor_spark_entry")
+    pages_path = os.path.join(workdir, "pages.parquet")
+    out_path = os.path.join(workdir, "out")
+
+    write_pages(spark, pages_path, n_pages=50)
+    conf = PipelineConfig(
+        pages_path=pages_path,
+        output_path=out_path,
+        schema=BLOG_SCHEMA,
+        n_buckets=8,
+        n_salt=4,
+        resume=False,
+    )
+    run_pipeline(spark, conf)
+    out = spark.read.parquet(out_path)
+    return out.select(
+        "url",
+        "markdown",
+        "text",
+        "html_bytes",
+        "markdown_chars",
+        "boilerplate_bytes_removed",
+        "data",
+        "input_tokens",
+        "output_tokens",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from extractor_spark.spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _oracle) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from extractor_spark.spark.queries import QUERIES
+
+    return {
+        name: oracle for name, (_fn, oracle) in QUERIES.items() if oracle is not None
+    }

@@ -1,0 +1,389 @@
+"""Operator coverage queries over the driver-provided tables, each paired
+with a DuckDB oracle (driver contract, /root/repo/__spark_entry__.py).
+
+Design rules for oracle parity:
+- every computed column is aliased identically in Spark and the oracle;
+- no raw timestamps in outputs (epoch micros via unix_micros/epoch_us —
+  timezone-independent in both engines);
+- double sums over many rows are computed on integer cents
+  (CAST(round(x*100) AS BIGINT)) so accumulation order cannot flip a bit;
+- per-row double arithmetic (identical IEEE expression trees) is kept as
+  double, rounded only where two engines compute through different builtins
+  (cosine similarity).
+
+Probabilistic/scale-path ops (MinHash-LSH, SimHash, hyperplane LSH) have no
+SQL oracle and are registered rows-only; each has an exact oracle-checked
+counterpart (ngram_jaccard_pairs, exact fingerprints, brute-force cosine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    # Oracle comparisons assume UTC timestamp semantics (TESTDATA parquet is
+    # UTC-naive; DuckDB reads it naively).  Session-settable at runtime.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for name in TABLES:
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+
+
+def _sql(statement: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _views(spark, sf_dir)
+        return spark.sql(statement)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Relational scaffolding (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+# TPC-H Q1-flavored pricing summary: group-agg with partial (map-side)
+# aggregation; money sums on integer cents for cross-engine exactness.
+_PRICING_SUMMARY = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(count(*) AS BIGINT)                                   AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)            AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# Projection+filter that Catalyst pushes into the parquet scan.
+_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount >= 0.05
+  AND l_quantity < 10
+"""
+
+# Latest event per user — the pipeline's dedup-latest-per-url window op.
+_DEDUP_LATEST_EVENT_SPARK = """
+SELECT user_id, event_id, unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+_DEDUP_LATEST_EVENT_ORACLE = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+"""
+
+# Top-3 documents by length per language (top-k per group).
+_TOPK_DOCS = """
+SELECT lang, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) t WHERE rn <= 3
+"""
+
+# Broadcast-joined dimension: revenue by market segment (context-join analog).
+_SEGMENT_REVENUE = """
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY mktsegment
+"""
+
+# Anti-join — the manifest-resume primitive.
+_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+"""
+
+# Set ops: users active in the first half-year but not the second.
+_SET_OPS = """
+SELECT user_id FROM events WHERE ts <  TIMESTAMP '2024-07-01 00:00:00'
+EXCEPT
+SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-07-01 00:00:00'
+"""
+
+# Rollup (grouping-sets family) over document dimensions.
+_DOCS_ROLLUP = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)
+"""
+
+# Running window aggregate per user (value scaled to exact integer cents).
+_RUNNING_VALUE = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS running_value_cents
+FROM events
+"""
+
+# Hourly event-stream rollup (the batch shape of the streaming agg).
+_EVENTS_HOURLY_SPARK = """
+SELECT unix_micros(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS hour_us, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+_EVENTS_HOURLY_ORACLE = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+# ---------------------------------------------------------------------------
+# Text-analysis ops over `documents` (training-data pipeline extensions)
+# ---------------------------------------------------------------------------
+
+# Token counting + exact document fingerprint (dedup key).
+_TOKEN_COUNTS_SPARK = """
+SELECT doc_id,
+       CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_computed,
+       md5(text) AS fingerprint
+FROM documents
+"""
+_TOKEN_COUNTS_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_computed,
+       md5(text) AS fingerprint
+FROM documents
+"""
+
+_STOPWORDS = "('the','a','and','of','to','in','is','for','on','with')"
+
+# Quality scoring: length/stopword/shape heuristics, integer-scaled.
+_QUALITY_SPARK = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_q,
+       CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens,
+       CAST(size(filter(split(trim(text), '\\\\s+'), t -> t IN {_STOPWORDS})) AS BIGINT) AS n_stopwords,
+       CAST(size(array_distinct(split(trim(text), '\\\\s+'))) AS BIGINT) AS n_unique_tokens
+FROM documents
+"""
+_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_q,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN {_STOPWORDS})) AS BIGINT) AS n_stopwords,
+       CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_unique_tokens
+FROM documents
+"""
+
+# Marker-word language ID heuristic (n-gram-lite; deterministic CASE).
+_LANG_ID = """
+SELECT doc_id,
+       CASE
+         WHEN concat(' ', lower(text), ' ') LIKE '% der %' OR concat(' ', lower(text), ' ') LIKE '% und %' THEN 'de'
+         WHEN concat(' ', lower(text), ' ') LIKE '% le %'  OR concat(' ', lower(text), ' ') LIKE '% et %'  THEN 'fr'
+         WHEN concat(' ', lower(text), ' ') LIKE '% el %'  OR concat(' ', lower(text), ' ') LIKE '% los %' THEN 'es'
+         WHEN concat(' ', lower(text), ' ') LIKE '% the %' OR concat(' ', lower(text), ' ') LIKE '% and %' THEN 'en'
+         ELSE 'unknown'
+       END AS predicted_lang
+FROM documents
+"""
+
+# Exact n-gram (3-shingle) Jaccard near-duplicate pairs — the oracle-checked
+# ground truth that the MinHash-LSH scale path approximates.
+_JACCARD_SPARK = """
+WITH toks AS (
+  SELECT doc_id, split(trim(text), '\\\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, sh.shingle
+  FROM toks
+  LATERAL VIEW explode(
+    transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+  ) sh AS shingle
+  WHERE size(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.d1, p.d2
+FROM pairs p
+JOIN sizes s1 ON p.d1 = s1.doc_id
+JOIN sizes s2 ON p.d2 = s2.doc_id
+WHERE CAST(p.common AS DOUBLE) / (s1.n + s2.n - p.common) >= 0.8
+"""
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks WHERE len(w) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.d1, p.d2
+FROM pairs p
+JOIN sizes s1 ON p.d1 = s1.doc_id
+JOIN sizes s2 ON p.d2 = s2.doc_id
+WHERE CAST(p.common AS DOUBLE) / (s1.n + s2.n - p.common) >= 0.8
+"""
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+# Brute-force cosine top-10 vs vec_id 0 — the ANN baseline.  Cosine rounded
+# to 4dp (different builtins on the two sides), ranking tie-broken by vec_id.
+_EMB_TOPK_SPARK = """
+SELECT b.vec_id AS vec_id,
+       CAST(round(
+         aggregate(zip_with(a.embedding, b.embedding,
+                            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                   0D, (acc, v) -> acc + v)
+         / (sqrt(aggregate(a.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+            * sqrt(aggregate(b.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+       , 4) AS DOUBLE) AS cos_sim
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id = 0 AND b.vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""
+_EMB_TOPK_ORACLE = """
+SELECT b.vec_id AS vec_id,
+       CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 4) AS DOUBLE) AS cos_sim
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id = 0 AND b.vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# Scale-path approximations (rows-only: no SQL oracle by construction)
+# ---------------------------------------------------------------------------
+
+# MinHash (64 perms) computed via fold — no explode, no shuffle until the
+# 16-band candidate join; the distributed shape that survives 10^12 docs.
+_MINHASH_CANDIDATES = """
+WITH toks AS (
+  SELECT doc_id, array_distinct(
+    transform(sequence(0, size(split(trim(text), '\\\\s+')) - 3),
+              i -> concat_ws(' ', split(trim(text), '\\\\s+')[i],
+                                  split(trim(text), '\\\\s+')[i+1],
+                                  split(trim(text), '\\\\s+')[i+2]))
+  ) AS shingles
+  FROM documents
+  WHERE size(split(trim(text), '\\\\s+')) >= 3
+),
+sigs AS (
+  SELECT doc_id,
+         transform(sequence(0, 63),
+                   s -> aggregate(shingles, 9223372036854775807L,
+                                  (acc, sh) -> least(acc, xxhash64(concat(sh, ':', CAST(s AS STRING)))))) AS sig
+  FROM toks
+),
+bands AS (
+  SELECT doc_id, b.pos AS band_idx,
+         xxhash64(sig[b.pos * 4], sig[b.pos * 4 + 1], sig[b.pos * 4 + 2], sig[b.pos * 4 + 3]) AS band_hash
+  FROM sigs
+  LATERAL VIEW posexplode(sequence(0, 15)) b AS pos, val
+)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+# SimHash 64-bit fingerprints via bit-counting fold (near-dup = small
+# Hamming distance; the bit arithmetic is Spark-side only).
+_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id, split(trim(text), '\\\\s+') AS w FROM documents
+)
+SELECT doc_id,
+       aggregate(
+         sequence(0, 63),
+         0L,
+         (acc, b) -> acc + shiftleft(
+           CASE WHEN aggregate(w, 0L,
+                 (a2, t) -> a2 + CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1
+                                      THEN 1L ELSE -1L END) > 0
+                THEN 1L ELSE 0L END, b)
+       ) AS simhash64
+FROM toks
+"""
+
+# Random-hyperplane LSH over embeddings: 16-bit signatures from xxhash64-
+# seeded pseudo-random planes; bucket histogram (ANN scale path).
+_LSH_COSINE_BUCKETS = """
+WITH sigs AS (
+  SELECT vec_id,
+         aggregate(
+           sequence(0, 15),
+           0L,
+           (acc, p) -> acc + shiftleft(
+             CASE WHEN aggregate(
+                    zip_with(embedding,
+                             transform(sequence(0, size(embedding) - 1),
+                                       i -> CAST(pmod(xxhash64(p, i), 2001) AS DOUBLE) / 1000.0 - 1.0),
+                             (x, r) -> CAST(x AS DOUBLE) * r),
+                    0D, (a2, v) -> a2 + v) > 0
+                  THEN 1L ELSE 0L END, p)
+         ) AS lsh_bucket
+  FROM embeddings
+)
+SELECT lsh_bucket, CAST(count(*) AS BIGINT) AS n_vectors
+FROM sigs GROUP BY lsh_bucket
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    # name: (spark_fn, oracle_sql_or_None)
+    "pricing_summary": (_sql(_PRICING_SUMMARY), _PRICING_SUMMARY),
+    "filter_project": (_sql(_FILTER_PROJECT), _FILTER_PROJECT),
+    "dedup_latest_event": (_sql(_DEDUP_LATEST_EVENT_SPARK), _DEDUP_LATEST_EVENT_ORACLE),
+    "topk_docs_per_lang": (_sql(_TOPK_DOCS), _TOPK_DOCS),
+    "segment_revenue": (_sql(_SEGMENT_REVENUE), _SEGMENT_REVENUE),
+    "customers_without_orders": (_sql(_CUSTOMERS_WITHOUT_ORDERS), _CUSTOMERS_WITHOUT_ORDERS),
+    "inactive_second_half_users": (_sql(_SET_OPS), _SET_OPS),
+    "docs_rollup": (_sql(_DOCS_ROLLUP), _DOCS_ROLLUP),
+    "running_value_per_user": (_sql(_RUNNING_VALUE), _RUNNING_VALUE),
+    "events_hourly": (_sql(_EVENTS_HOURLY_SPARK), _EVENTS_HOURLY_ORACLE),
+    "token_counts": (_sql(_TOKEN_COUNTS_SPARK), _TOKEN_COUNTS_ORACLE),
+    "quality_scores": (_sql(_QUALITY_SPARK), _QUALITY_ORACLE),
+    "lang_id": (_sql(_LANG_ID), _LANG_ID),
+    "ngram_jaccard_pairs": (_sql(_JACCARD_SPARK), _JACCARD_ORACLE),
+    "embedding_topk": (_sql(_EMB_TOPK_SPARK), _EMB_TOPK_ORACLE),
+    # scale-path approximations — rows-only checks
+    "minhash_lsh_candidates": (_sql(_MINHASH_CANDIDATES), None),
+    "simhash_fingerprints": (_sql(_SIMHASH), None),
+    "lsh_cosine_buckets": (_sql(_LSH_COSINE_BUCKETS), None),
+}

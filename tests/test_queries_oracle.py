@@ -1,0 +1,84 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same sf0.01 parquet, compare
+row count, column names, and order-insensitive values."""
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+import __spark_entry__ as entrymod
+
+pytestmark = pytest.mark.spark
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(value):
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "nan"
+        return round(value, 9)
+    return value
+
+
+def _rowset(rows):
+    # key=repr: rows can mix None with strings (rollup), which plain tuple
+    # ordering cannot compare
+    return sorted((tuple(_normalize(v) for v in row) for row in rows), key=repr)
+
+
+ORACLES = entrymod.oracle_sql()
+ALL_QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, name):
+    spark_df = ALL_QUERIES[name](spark, SF_DIR)
+    spark_cols = spark_df.columns
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+
+    con = _duck()
+    result = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in result.description]
+    duck_rows = result.fetchall()
+
+    assert spark_cols == duck_cols, f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    assert _rowset(spark_rows) == _rowset(duck_rows), f"{name}: value mismatch"
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = ALL_QUERIES[name](spark, SF_DIR)
+    rows = df.collect()
+    assert rows is not None
+    assert len(df.columns) > 0
+
+
+def test_minhash_candidates_cover_true_pairs(spark):
+    """The LSH scale path must recall the exact-Jaccard (≥0.8) pairs."""
+    exact = {
+        (r["d1"], r["d2"])
+        for r in ALL_QUERIES["ngram_jaccard_pairs"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["d1"], r["d2"])
+        for r in ALL_QUERIES["minhash_lsh_candidates"](spark, SF_DIR).collect()
+    }
+    assert exact, "expected planted near-duplicates in the documents table"
+    missed = exact - approx
+    assert not missed, f"LSH missed true near-dup pairs: {missed}"
