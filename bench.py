@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline workload on local[$SPARK_GRAFT_CPUS] against
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Headline = the end-to-end extract pipeline (synthetic pages corpus sized by
+$SPARK_GRAFT_BENCH_PAGES, default 20000; corpus generation is not timed) plus
+representative relational / text / similarity queries from the driver
+contract.  Extras record docs/sec and HTML MB/sec for the pipeline — the
+numbers BENCH/BASELINE.md tracks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    from extractor_spark.spark.pipeline import PipelineConfig, run_pipeline
+    from extractor_spark.spark.queries import QUERIES
+    from extractor_spark.spark.session import get_spark
+    from extractor_spark.spark.synth import write_pages
+
+    spark = get_spark("extractor-spark-bench", cpus=cpus)
+
+    workdir = tempfile.mkdtemp(prefix="extractor_bench_")
+    pages_path = os.path.join(workdir, "pages.parquet")
+    out_path = os.path.join(workdir, "out")
+
+    # corpus generation — not part of the timed pipeline
+    write_pages(spark, pages_path, n_pages=n_pages)
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    t0 = time.time()
+    summary = run_pipeline(
+        spark,
+        PipelineConfig(
+            pages_path=pages_path,
+            output_path=out_path,
+            n_buckets=64,
+            n_salt=16,
+            resume=False,
+        ),
+    )
+    timings["extract_pipeline"] = round(time.time() - t0, 3)
+    extras["pipeline_docs"] = summary["docs"]
+    extras["pipeline_docs_per_sec"] = round(summary["docs"] / timings["extract_pipeline"], 1)
+    extras["pipeline_html_mb_per_sec"] = round(
+        (summary["html_bytes"] or 0) / 1e6 / timings["extract_pipeline"], 2
+    )
+    extras["convert_failures"] = summary["convert_failures"]
+
+    bench_queries = [
+        "pricing_summary",
+        "segment_revenue",
+        "dedup_latest_event",
+        "topk_docs_per_lang",
+        "token_counts",
+        "quality_scores",
+        "ngram_jaccard_pairs",
+        "minhash_lsh_candidates",
+        "embedding_topk",
+        "lsh_cosine_buckets",
+    ]
+    for name in bench_queries:
+        fn, _oracle = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        extras.setdefault("query_rows", {})[name] = n
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline suite wall time (extract pipeline + operator queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "bench_pages": n_pages,
+        **extras,
+    }
+    print(json.dumps(result))
+
+    spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

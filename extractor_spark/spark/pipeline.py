@@ -46,7 +46,7 @@ class PipelineConfig:
     schema: dict | None = None  # extraction schema; None = convert-only
     html_options: HtmlExtractionOptions = field(default_factory=HtmlExtractionOptions)
     n_buckets: int = 64
-    n_salt: int = 16
+    n_salt: int = 64
     repartition: int | None = None  # default: spark.sql.shuffle.partitions
     resume: bool = True
     context_path: str | None = None  # optional (url, context_json) side table
@@ -74,17 +74,23 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-def defuse_skew(df: DataFrame, n_salt: int, partitions: int | None) -> DataFrame:
+def defuse_skew(df: DataFrame, n_salt: int, partitions: int) -> DataFrame:
     """Spread hot hosts: repartition on (url_host, salt) so one domain's
     pages land on n_salt partitions instead of one (BASELINE.json north
     rule).  The convert/extract stages are maps, so this partitioning is
-    purely for work balance — correctness is unaffected."""
+    purely for work balance — correctness is unaffected.
+
+    Range partitioning (per the north rule) samples key weights, so the
+    zipf-heavy hosts are spread into weight-balanced partitions; the salt
+    splits a single hot host across up to n_salt ranges.  The partition
+    count is always explicit: HTML is cheap in bytes but expensive in CPU,
+    so AQE's size-based coalescing (which would happily fold a 70 MB
+    shuffle into one partition) must not shrink the Python stage's
+    parallelism — explicit counts are exempt from coalescing."""
     df = df.withColumn("url_host", F.expr("parse_url(url, 'HOST')")).withColumn(
         "salt", F.pmod(F.xxhash64("url"), F.lit(n_salt)).cast("int")
     )
-    if partitions:
-        return df.repartition(partitions, "url_host", "salt")
-    return df.repartition("url_host", "salt")
+    return df.repartitionByRange(partitions, "url_host", "salt")
 
 
 def completed_buckets(spark: SparkSession, manifest_path: str) -> DataFrame | None:
@@ -112,7 +118,12 @@ def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
             # manifest is tiny — broadcast anti-join, no shuffle of the data
             pages = pages.join(F.broadcast(done), "bucket", "left_anti")
 
-    pages = defuse_skew(pages, conf.n_salt, conf.repartition)
+    # Default compute parallelism: 4 waves per core slot for balance under
+    # per-document cost variance (page sizes are long-tailed).
+    n_parts = conf.repartition or 4 * int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    pages = defuse_skew(pages, conf.n_salt, n_parts)
 
     converted = convert_stage(
         pages.select("url", "warc_ts", "html", "lang"),
@@ -139,9 +150,16 @@ def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
     output = with_bucket(output, conf.n_buckets)
 
     # Dynamic partition overwrite: re-running a bucket replaces exactly that
-    # bucket's files — idempotent resume.
+    # bucket's files — idempotent resume.  Repartition on bucket first so each
+    # bucket directory gets one file instead of one per upstream task
+    # (n_buckets × n_tasks small files would dominate commit time).
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    output.write.mode("overwrite").partitionBy("bucket").parquet(conf.output_path)
+    (
+        output.repartition(conf.n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(conf.output_path)
+    )
 
     # Manifest: one row per completed bucket with lineage + metrics,
     # aggregated from the written output (second, cheap action).

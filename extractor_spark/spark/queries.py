@@ -291,25 +291,33 @@ LIMIT 10
 # Scale-path approximations (rows-only: no SQL oracle by construction)
 # ---------------------------------------------------------------------------
 
-# MinHash (64 perms) computed via fold — no explode, no shuffle until the
-# 16-band candidate join; the distributed shape that survives 10^12 docs.
+# MinHash (64 perms): shingles are exploded + re-collected so the signature
+# fold runs over a *materialized* array (Catalyst would otherwise inline the
+# shingle-construction expression into all 64 permutation lambdas).  The
+# explode→partial-agg shape is the standard distributed MinHash: map-side
+# combine keeps the shuffle proportional to distinct (doc, shingle).
 _MINHASH_CANDIDATES = """
 WITH toks AS (
-  SELECT doc_id, array_distinct(
-    transform(sequence(0, size(split(trim(text), '\\\\s+')) - 3),
-              i -> concat_ws(' ', split(trim(text), '\\\\s+')[i],
-                                  split(trim(text), '\\\\s+')[i+1],
-                                  split(trim(text), '\\\\s+')[i+2]))
-  ) AS shingles
-  FROM documents
-  WHERE size(split(trim(text), '\\\\s+')) >= 3
+  SELECT doc_id, split(trim(text), '\\\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, sh.shingle
+  FROM toks
+  LATERAL VIEW explode(
+    transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+  ) sh AS shingle
+  WHERE size(w) >= 3
+),
+seeded AS (
+  -- codegen'd projection + map-side-combined min: shuffle is 64 rows/doc
+  SELECT doc_id, s.seed, min(xxhash64(shingle, s.seed)) AS mh
+  FROM sh LATERAL VIEW posexplode(sequence(0, 63)) s AS seed, sval
+  GROUP BY doc_id, s.seed
 ),
 sigs AS (
   SELECT doc_id,
-         transform(sequence(0, 63),
-                   s -> aggregate(shingles, 9223372036854775807L,
-                                  (acc, sh) -> least(acc, xxhash64(concat(sh, ':', CAST(s AS STRING)))))) AS sig
-  FROM toks
+         transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh) AS sig
+  FROM seeded GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, b.pos AS band_idx,
@@ -325,20 +333,21 @@ FROM bands a JOIN bands b
 # SimHash 64-bit fingerprints via bit-counting fold (near-dup = small
 # Hamming distance; the bit arithmetic is Spark-side only).
 _SIMHASH = """
-WITH toks AS (
-  SELECT doc_id, split(trim(text), '\\\\s+') AS w FROM documents
+WITH exploded AS (
+  SELECT doc_id, xxhash64(tok) AS h
+  FROM documents LATERAL VIEW explode(split(trim(text), '\\\\s+')) t AS tok
+),
+bit_votes AS (
+  -- codegen'd bit extraction + map-side-combined sum: 64 rows per doc
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (shiftright(h, b.bit) & 1) = 1 THEN 1L ELSE -1L END) AS vote
+  FROM exploded LATERAL VIEW posexplode(sequence(0, 63)) b AS bit, bval
+  GROUP BY doc_id, b.bit
 )
 SELECT doc_id,
-       aggregate(
-         sequence(0, 63),
-         0L,
-         (acc, b) -> acc + shiftleft(
-           CASE WHEN aggregate(w, 0L,
-                 (a2, t) -> a2 + CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1
-                                      THEN 1L ELSE -1L END) > 0
-                THEN 1L ELSE 0L END, b)
-       ) AS simhash64
-FROM toks
+       sum(CASE WHEN vote > 0 THEN shiftleft(1L, bit) ELSE 0L END) AS simhash64
+FROM bit_votes
+GROUP BY doc_id
 """
 
 # Random-hyperplane LSH over embeddings: 16-bit signatures from xxhash64-
