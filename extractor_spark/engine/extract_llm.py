@@ -18,7 +18,7 @@ from extractor_spark.engine.sanitize import (
     safe_sanitized_parser,
     transform_schema_for_llm,
 )
-from extractor_spark.engine.schema import unwrap
+from extractor_spark.engine.schema import normalize_schema, unwrap
 
 FORMAT_HTML = "html"
 FORMAT_MARKDOWN = "markdown"
@@ -272,6 +272,7 @@ def extract_with_llm(
     """extractors.ts:151-250 — truncate → prompt → structured call →
     fallbacks (tool-call args, repaired JSON string) → URL unescape →
     sanitize against the original schema."""
+    schema = normalize_schema(schema)  # idempotent on the internal form
     truncated = (
         truncate_content(
             format,
