@@ -45,14 +45,23 @@ class PipelineConfig:
     manifest_path: str | None = None  # default: <output>/_manifest
     schema: dict | None = None  # extraction schema; None = convert-only
     html_options: HtmlExtractionOptions = field(default_factory=HtmlExtractionOptions)
-    n_buckets: int = 64
+    # Resume granularity; must stay FIXED across runs (bucket identity is
+    # xxhash64(url) % n_buckets — changing it invalidates the manifest).
+    n_buckets: int = 512
     n_salt: int = 64
     repartition: int | None = None  # default: 4 × spark.sql.shuffle.partitions
-    # "hash" (default): one-pass shuffle on (url_host, salt) — uniform enough
-    # once the salt splits hot hosts (max key weight = top_host/n_salt).
-    # "range": sorted host locality per the north rule's range-partition
-    # wording — costs an extra sampling pass that recomputes the upstream
-    # plan, so it is opt-in.
+    # "fused" (default): ONE full-data shuffle — partition by bucket (bucket =
+    # f(url), so same-url rows co-locate), sort runs within partitions, dedup
+    # inside the convert stage, write bucket-aligned with no further shuffle.
+    # url-hash bucketing is inherently uniform, so host skew cannot
+    # materialize.  At petabyte scale the saved shuffles are the dominant
+    # network cost.
+    # "windowed": reference-shaped plan — window dedup shuffle, then salted
+    # url-host repartition ("hash" one-pass, or "range" for sorted host
+    # locality at the cost of a sampling pass), then a bucket shuffle for the
+    # write.  Use when host-grouped processing is required (per-host rate
+    # limits, politeness, sorted host output).
+    dedup_mode: str = "fused"
     partition_strategy: str = "hash"
     resume: bool = True
     context_path: str | None = None  # optional (url, context_json) side table
@@ -131,7 +140,6 @@ def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
     manifest_path = conf.resolved_manifest_path()
 
     pages = spark.read.parquet(conf.pages_path)
-    pages = dedup_latest_per_url(pages)
     pages = with_bucket(pages, conf.n_buckets)
 
     skipped_buckets = 0
@@ -147,12 +155,26 @@ def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
     n_parts = conf.repartition or 4 * int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    pages = defuse_skew(pages, conf.n_salt, n_parts, conf.partition_strategy)
 
-    converted = convert_stage(
-        pages.select("url", "warc_ts", "html", "lang"),
-        conf.html_options,
-    )
+    if conf.dedup_mode == "fused":
+        # one shuffle: bucket partitioning co-locates url runs AND aligns
+        # with the bucketed write (no further shuffle before the sink)
+        n_parts = min(n_parts, conf.n_buckets)
+        pages = pages.repartition(n_parts, "bucket").sortWithinPartitions(
+            "url", F.col("warc_ts").desc()
+        )
+        converted = convert_stage(
+            pages.select("url", "warc_ts", "html", "lang"),
+            conf.html_options,
+            dedup_sorted_runs=True,
+        )
+    else:
+        pages = dedup_latest_per_url(pages)
+        pages = defuse_skew(pages, conf.n_salt, n_parts, conf.partition_strategy)
+        converted = convert_stage(
+            pages.select("url", "warc_ts", "html", "lang"),
+            conf.html_options,
+        )
 
     if conf.schema is not None:
         md = converted
@@ -174,16 +196,14 @@ def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
     output = with_bucket(output, conf.n_buckets)
 
     # Dynamic partition overwrite: re-running a bucket replaces exactly that
-    # bucket's files — idempotent resume.  Repartition on bucket first so each
-    # bucket directory gets one file instead of one per upstream task
-    # (n_buckets × n_tasks small files would dominate commit time).
+    # bucket's files — idempotent resume.
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        output.repartition(conf.n_buckets, "bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(conf.output_path)
-    )
+    if conf.dedup_mode != "fused":
+        # group buckets so each directory gets one file, not one per task
+        output = output.repartition(conf.n_buckets, "bucket")
+    # fused mode: rows never moved since the bucket shuffle, so each task
+    # already holds whole buckets — partitionBy emits one file per bucket
+    output.write.mode("overwrite").partitionBy("bucket").parquet(conf.output_path)
 
     # Manifest: one row per completed bucket with lineage + metrics,
     # aggregated from the written output (second, cheap action).

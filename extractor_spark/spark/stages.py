@@ -53,12 +53,32 @@ def convert_stage(
     pages: DataFrame,
     options: HtmlExtractionOptions | None = None,
     compute_text: bool = True,
+    dedup_sorted_runs: bool = False,
 ) -> DataFrame:
-    """Stage C: (url, warc_ts, html, lang, ...) → CONVERT_SCHEMA rows."""
+    """Stage C: (url, warc_ts, html, lang, ...) → CONVERT_SCHEMA rows.
+
+    ``dedup_sorted_runs=True`` fuses latest-crawl-per-url dedup into the
+    stage: the caller guarantees each partition is sorted by
+    (url asc, warc_ts desc) and that all rows of a url share a partition
+    (bucket co-location) — the stage then keeps only the first row of each
+    url run, streaming across Arrow batches with O(1) state.  This replaces
+    the separate window-dedup shuffle entirely."""
     opts = options or HtmlExtractionOptions()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        prev_url = None
         for pdf in batches:
+            if dedup_sorted_runs:
+                urls_in = pdf["url"].tolist()
+                keep = []
+                for i, u in enumerate(urls_in):
+                    if u != prev_url:
+                        keep.append(i)
+                        prev_url = u
+                if len(keep) != len(pdf):
+                    pdf = pdf.iloc[keep]
+                if not len(pdf):
+                    continue
             n = len(pdf)
             urls = pdf["url"].tolist()
             htmls = pdf["html"].tolist()

@@ -151,6 +151,37 @@ def test_extract_stage_with_context_join(spark):
     assert out["data_json"] is not None
 
 
+def test_fused_equals_windowed(spark, pages_path, tmp_path):
+    """The single-shuffle fused dedup+convert produces exactly the same rows
+    as the reference-shaped window plan."""
+    out_a = str(tmp_path / "fused")
+    out_b = str(tmp_path / "windowed")
+    run_pipeline(
+        spark,
+        PipelineConfig(
+            pages_path=pages_path, output_path=out_a, n_buckets=8,
+            dedup_mode="fused", resume=False,
+        ),
+    )
+    run_pipeline(
+        spark,
+        PipelineConfig(
+            pages_path=pages_path, output_path=out_b, n_buckets=8,
+            dedup_mode="windowed", resume=False,
+        ),
+    )
+    a = {
+        (r["url"], r["markdown"], r["warc_ts"])
+        for r in spark.read.parquet(out_a).select("url", "markdown", "warc_ts").collect()
+    }
+    b = {
+        (r["url"], r["markdown"], r["warc_ts"])
+        for r in spark.read.parquet(out_b).select("url", "markdown", "warc_ts").collect()
+    }
+    assert a == b
+    assert len(a) > 0
+
+
 def test_metrics_rollup(spark, pages_path, tmp_path):
     out_dir = str(tmp_path / "out_metrics")
     run_pipeline(
