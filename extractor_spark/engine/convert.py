@@ -5,9 +5,14 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from extractor_spark.engine.dom import Element
 from extractor_spark.engine.main_extract import extract_main_html
-from extractor_spark.engine.tidy import tidy_html
-from extractor_spark.engine.turndown_md import TurndownConverter, js_trim
+from extractor_spark.engine.tidy import tidy_dom, tidy_html
+from extractor_spark.engine.turndown_md import (
+    TurndownConverter,
+    js_trim,
+    normalize_text_nodes,
+)
 
 
 @dataclass(frozen=True)
@@ -24,19 +29,33 @@ def html_to_markdown(
     html: str,
     options: HtmlExtractionOptions | None = None,
     source_url: str | None = None,
+    fast_path: bool = True,
 ) -> str:
     """Tidy → turndown-convert → optional main-content heuristic.
 
     Byte-compatible with the reference's ``htmlToMarkdown``
     (converters.ts:75-236) including the 20%/500-char main-vs-full decision.
+
+    ``fast_path`` (no extract_main_html only) hands the tidied DOM straight
+    to the converter instead of round-tripping through serialize→reparse —
+    equivalent output (tests/test_fast_path.py corpus check), ~30% faster.
     """
     opts = options or HtmlExtractionOptions()
-    tidied = tidy_html(html, opts.include_images)
     converter = TurndownConverter(
         include_images=opts.include_images,
         clean_urls=opts.clean_urls,
         source_url=source_url,
     )
+    if fast_path and not opts.extract_main_html:
+        body = tidy_dom(html, opts.include_images).body
+        normalize_text_nodes(body)
+        root = Element("#root")
+        root.children = body.children
+        for child in root.children:
+            child.parent = root
+        return js_trim(converter.turndown_dom(root))
+
+    tidied = tidy_html(html, opts.include_images)
     full_markdown = js_trim(converter.turndown(tidied))
     if not opts.extract_main_html:
         return full_markdown

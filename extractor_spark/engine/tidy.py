@@ -27,10 +27,9 @@ MANUALLY_CLEANED_ELEMENTS = frozenset(
 IMAGE_ELEMENTS = frozenset(["img", "picture", "figure"])
 
 
-def tidy_html(html: str, include_images: bool = False) -> str:
-    """Tidy raw HTML and return the body inner HTML
-    (cheerio ``$("body").html()`` equivalent,
-    /root/reference/src/converters.ts:239-327)."""
+def tidy_dom(html: str, include_images: bool = False):
+    """Tidy raw HTML in place and return the parsed document builder
+    (exposes ``.body``)."""
     doc = parse_document(html)
 
     denylist = MANUALLY_CLEANED_ELEMENTS
@@ -50,7 +49,14 @@ def tidy_html(html: str, include_images: bool = False) -> str:
         if el.parent is not None:
             el.detach()
 
-    return serialize_inner(doc.body)
+    return doc
+
+
+def tidy_html(html: str, include_images: bool = False) -> str:
+    """Tidy raw HTML and return the body inner HTML
+    (cheerio ``$("body").html()`` equivalent,
+    /root/reference/src/converters.ts:239-327)."""
+    return serialize_inner(tidy_dom(html, include_images).body)
 
 
 def clean_attribute(attribute: str | None) -> str:

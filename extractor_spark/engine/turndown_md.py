@@ -207,6 +207,30 @@ _ESCAPES = [
 _ESCAPE_TRIGGER = re.compile(r"[\\*`\[\]_]|^[-+=>#~0-9]")
 
 
+def normalize_text_nodes(element: Element) -> None:
+    """Merge adjacent Text siblings throughout the subtree (what a
+    serialize→reparse round trip would do implicitly).  Required before
+    :meth:`TurndownConverter.turndown_dom`."""
+    stack = [element]
+    while stack:
+        node = stack.pop()
+        children = node.children
+        merged: list = []
+        for child in children:
+            if (
+                merged
+                and child.node_type == TEXT_NODE
+                and merged[-1].node_type == TEXT_NODE
+            ):
+                merged[-1].data += child.data
+            else:
+                merged.append(child)
+                if child.node_type == ELEMENT_NODE:
+                    stack.append(child)
+        if len(merged) != len(children):
+            node.children = merged
+
+
 def escape_markdown(text: str) -> str:
     if _ESCAPE_TRIGGER.search(text) is None:
         return text
@@ -295,7 +319,21 @@ class TurndownConverter:
     def turndown(self, input_html: str) -> str:
         if input_html == "":
             return ""
-        root = parse_fragment(input_html)
+        return self._convert_root(parse_fragment(input_html))
+
+    def turndown_dom(self, root: Element) -> str:
+        """Fast path: convert an already-parsed tree (children adopted under
+        a detached root), skipping the serialize→reparse round trip.
+
+        Equivalence with ``turndown(serialize_inner(...))`` requires adjacent
+        text siblings to be merged first — serialization would merge them,
+        and turndown's anchored escape regexes act per text node.  Callers
+        use :func:`normalize_text_nodes`."""
+        if not root.children:
+            return ""
+        return self._convert_root(root)
+
+    def _convert_root(self, root: Element) -> str:
         collapse_whitespace(root)
         output = self._process(root)
         output = _LEAD_TRN_RE.sub("", output)
