@@ -114,6 +114,23 @@ FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
 """
 
+# Semi-join (EXISTS) — planned as LEFT SEMI by Catalyst.
+_CUSTOMERS_WITH_ORDERS = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+# Approximate/statistical ops — engine-specific sketch values, rows-only.
+_APPROX_STATS = """
+SELECT event_type,
+       approx_count_distinct(user_id) AS approx_users,
+       CAST(percentile_approx(value, 0.5) AS DOUBLE) AS p50_value,
+       CAST(percentile_approx(value, 0.99) AS DOUBLE) AS p99_value
+FROM events
+GROUP BY event_type
+"""
+
 # Set ops: users active in the first half-year but not the second.
 _SET_OPS = """
 SELECT user_id FROM events WHERE ts <  TIMESTAMP '2024-07-01 00:00:00'
@@ -382,6 +399,7 @@ QUERIES: dict[str, tuple] = {
     "topk_docs_per_lang": (_sql(_TOPK_DOCS), _TOPK_DOCS),
     "segment_revenue": (_sql(_SEGMENT_REVENUE), _SEGMENT_REVENUE),
     "customers_without_orders": (_sql(_CUSTOMERS_WITHOUT_ORDERS), _CUSTOMERS_WITHOUT_ORDERS),
+    "customers_with_orders": (_sql(_CUSTOMERS_WITH_ORDERS), _CUSTOMERS_WITH_ORDERS),
     "inactive_second_half_users": (_sql(_SET_OPS), _SET_OPS),
     "docs_rollup": (_sql(_DOCS_ROLLUP), _DOCS_ROLLUP),
     "running_value_per_user": (_sql(_RUNNING_VALUE), _RUNNING_VALUE),
@@ -392,6 +410,7 @@ QUERIES: dict[str, tuple] = {
     "ngram_jaccard_pairs": (_sql(_JACCARD_SPARK), _JACCARD_ORACLE),
     "embedding_topk": (_sql(_EMB_TOPK_SPARK), _EMB_TOPK_ORACLE),
     # scale-path approximations — rows-only checks
+    "approx_stats": (_sql(_APPROX_STATS), None),
     "minhash_lsh_candidates": (_sql(_MINHASH_CANDIDATES), None),
     "simhash_fingerprints": (_sql(_SIMHASH), None),
     "lsh_cosine_buckets": (_sql(_LSH_COSINE_BUCKETS), None),
