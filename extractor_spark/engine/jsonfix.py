@@ -117,7 +117,11 @@ def json_repair(text: str) -> str:
                 i = n if end == -1 else end + 2
             continue
         if c.isalpha():
-            word = re.match(r"[A-Za-z_$][A-Za-z0-9_$]*", s[i:]).group(0)
+            m = re.match(r"[^\W\d][\w$]*", s[i:], re.UNICODE)
+            if m is None:  # lone combining char etc. — drop it
+                i += 1
+                continue
+            word = m.group(0)
             rest = s[i + len(word):]
             if word in ("true", "false", "null"):
                 out.append(word)
