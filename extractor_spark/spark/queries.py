@@ -391,6 +391,25 @@ FROM sigs GROUP BY lsh_bucket
 """
 
 
+# Embedding-cosine near-duplicate pairs (dedup family, exact baseline for
+# the hyperplane-LSH bucket path).  O(n²) dot products stay JVM-side.
+_EMB_COSINE_DUPS_SPARK = """
+SELECT a.vec_id AS v1, b.vec_id AS v2
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE aggregate(zip_with(a.embedding, b.embedding,
+                         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                0D, (acc, v) -> acc + v)
+      / (sqrt(aggregate(a.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+         * sqrt(aggregate(b.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+      >= 0.45
+"""
+_EMB_COSINE_DUPS_ORACLE = """
+SELECT a.vec_id AS v1, b.vec_id AS v2
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+"""
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     "pricing_summary": (_sql(_PRICING_SUMMARY), _PRICING_SUMMARY),
@@ -409,6 +428,7 @@ QUERIES: dict[str, tuple] = {
     "lang_id": (_sql(_LANG_ID), _LANG_ID),
     "ngram_jaccard_pairs": (_sql(_JACCARD_SPARK), _JACCARD_ORACLE),
     "embedding_topk": (_sql(_EMB_TOPK_SPARK), _EMB_TOPK_ORACLE),
+    "embedding_cosine_dups": (_sql(_EMB_COSINE_DUPS_SPARK), _EMB_COSINE_DUPS_ORACLE),
     # scale-path approximations — rows-only checks
     "approx_stats": (_sql(_APPROX_STATS), None),
     "minhash_lsh_candidates": (_sql(_MINHASH_CANDIDATES), None),
