@@ -156,6 +156,53 @@ SELECT user_id, event_id,
 FROM events
 """
 
+# Sessionization: 30-minute-gap sessions per user (lag + cumulative-sum
+# window composition; the batch twin of the stateful streaming operator).
+_SESSIONS_SPARK = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR CAST(ts AS TIMESTAMP) - CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)
+                      > INTERVAL '30' MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       unix_micros(CAST(min(ts) AS TIMESTAMP)) AS session_start_us,
+       unix_micros(CAST(max(ts) AS TIMESTAMP)) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+"""
+_SESSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
 # Hourly event-stream rollup (the batch shape of the streaming agg).
 _EVENTS_HOURLY_SPARK = """
 SELECT unix_micros(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS hour_us, event_type,
@@ -423,6 +470,7 @@ QUERIES: dict[str, tuple] = {
     "docs_rollup": (_sql(_DOCS_ROLLUP), _DOCS_ROLLUP),
     "running_value_per_user": (_sql(_RUNNING_VALUE), _RUNNING_VALUE),
     "events_hourly": (_sql(_EVENTS_HOURLY_SPARK), _EVENTS_HOURLY_ORACLE),
+    "user_sessions": (_sql(_SESSIONS_SPARK), _SESSIONS_ORACLE),
     "token_counts": (_sql(_TOKEN_COUNTS_SPARK), _TOKEN_COUNTS_ORACLE),
     "quality_scores": (_sql(_QUALITY_SPARK), _QUALITY_ORACLE),
     "lang_id": (_sql(_LANG_ID), _LANG_ID),

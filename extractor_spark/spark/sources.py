@@ -1,0 +1,51 @@
+"""Table IO for the pages/output tables — Iceberg-ready, parquet fallback.
+
+The target deployment stores ``pages`` as an Iceberg table
+(BASELINE.json input_hint); this sandbox has no Iceberg runtime jar, so the
+default is a parquet layout with the identical logical schema.  When the
+cluster image carries ``iceberg-spark-runtime`` (plus catalog conf), pass
+``fmt="iceberg"`` — the read/write paths below are the documented one-line
+switch (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark extension classes are on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_pages(spark: SparkSession, location: str, fmt: str = "parquet") -> DataFrame:
+    """Read the pages table.  ``location`` is a path (parquet) or a catalog
+    table identifier (iceberg)."""
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(location)
+    return spark.read.parquet(location)
+
+
+def write_output(
+    df: DataFrame,
+    location: str,
+    fmt: str = "parquet",
+    partition_col: str = "bucket",
+) -> None:
+    """Write the output table partitioned by ``partition_col``.
+
+    Iceberg: ``createOrReplace``/``append`` via the DataFrameWriterV2 API
+    (atomic snapshot commits subsume the parquet path's dynamic partition
+    overwrite).  Parquet: dynamic-overwrite handled by the caller's session
+    conf (pipeline.run_pipeline sets it).
+    """
+    if fmt == "iceberg":
+        df.writeTo(location).partitionedBy(df[partition_col]).createOrReplace()
+        return
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(location)

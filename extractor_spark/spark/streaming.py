@@ -46,6 +46,70 @@ def stream_events_hourly(
     )
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start_us bigint, session_end_us bigint, "
+    "n_events bigint, closed boolean"
+)
+_SESSION_STATE_SCHEMA = "start_us bigint, end_us bigint, n bigint"
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _session_func(key, pdf_iter, state):
+    """applyInPandasWithState body: 30-minute-gap sessionization per user.
+
+    Emits a row per closed session; the still-open tail session is emitted
+    with ``closed=false`` each time the group sees data (so a drained
+    static source yields the complete sessionization).
+    """
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        start_us, end_us, n = state.get
+    else:
+        start_us = end_us = None
+        n = 0
+
+    out_rows = []
+    for pdf in pdf_iter:
+        ts_us = sorted(int(v) for v in pdf["ts_us"])
+        for t in ts_us:
+            if start_us is None:
+                start_us, end_us, n = t, t, 1
+            elif t - end_us > SESSION_GAP_US:
+                out_rows.append((user_id, start_us, end_us, n, True))
+                start_us, end_us, n = t, t, 1
+            else:
+                end_us = max(end_us, t)
+                n += 1
+
+    if start_us is not None:
+        state.update((start_us, end_us, n))
+        out_rows.append((user_id, start_us, end_us, n, False))
+
+    yield pd.DataFrame(
+        out_rows,
+        columns=["user_id", "session_start_us", "session_end_us", "n_events", "closed"],
+    )
+
+
+def stream_user_sessions(spark: SparkSession, events_dir: str):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user 30-minute-gap sessionization with explicit state.  Returns the
+    streaming DataFrame; attach a sink and drain."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    events = stream.select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_func,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def stream_convert_pages(
     spark: SparkSession,
     pages_dir: str,

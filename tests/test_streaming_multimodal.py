@@ -91,6 +91,46 @@ def test_stream_convert_pages_incremental(spark, tmp_path):
     assert sample > 0
 
 
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """The applyInPandasWithState sessionizer, drained over a static source,
+    must reproduce the batch lag+cumsum sessionization exactly (closed
+    sessions + open tails together = all sessions)."""
+    import shutil
+
+    from extractor_spark.spark.queries import QUERIES
+    from extractor_spark.spark.streaming import stream_user_sessions
+
+    events_dir = str(tmp_path / "events")
+    (tmp_path / "events").mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", f"{events_dir}/events.parquet"
+    )
+
+    q = (
+        stream_user_sessions(spark, events_dir)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+
+    batch_fn, _ = QUERIES["user_sessions"]
+    batch = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in batch_fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
+
+
 def test_multimodal_sniff_and_features(spark):
     import pandas as pd
 
