@@ -405,18 +405,35 @@ class _TreeBuilder(HTMLParser):
         return
 
 
-def parse_document(html: str) -> _TreeBuilder:
+# The one-shot tokenizer (engine/tokenizer.py) is behaviorally equivalent to
+# feeding HTMLParser the whole document (equivalence fuzz-tested), ~1.5×
+# faster, and crash-free on malformed marked sections.  The stdlib path is
+# kept for the equivalence tests themselves.
+USE_FAST_TOKENIZER = True
+
+
+def parse_document(html: str, fast: bool | None = None) -> _TreeBuilder:
     """Parse a full document (implied html/head/body). Returns the builder,
     exposing ``.html``, ``.head``, ``.body``."""
     builder = _TreeBuilder(fragment=False)
-    builder.feed(html)
-    builder.close()
+    if USE_FAST_TOKENIZER if fast is None else fast:
+        from extractor_spark.engine.tokenizer import tokenize
+
+        tokenize(html, builder)
+    else:
+        builder.feed(html)
+        builder.close()
     return builder
 
 
-def parse_fragment(html: str) -> Element:
+def parse_fragment(html: str, fast: bool | None = None) -> Element:
     """Parse markup in body context under a detached ``#root`` element."""
     builder = _TreeBuilder(fragment=True)
-    builder.feed(html)
-    builder.close()
+    if USE_FAST_TOKENIZER if fast is None else fast:
+        from extractor_spark.engine.tokenizer import tokenize
+
+        tokenize(html, builder)
+    else:
+        builder.feed(html)
+        builder.close()
     return builder.root

@@ -1,0 +1,289 @@
+"""One-shot HTML tokenizer — behaviorally equivalent to stdlib
+``html.parser.HTMLParser(convert_charrefs=True)`` fed the whole document,
+but ~1.5× faster (no incremental buffering, no position bookkeeping, no
+per-construct method dispatch) and crash-free on malformed marked sections.
+
+Equivalence contract (tests/test_tokenizer_equiv.py): for any input on which
+HTMLParser does not raise, the resulting DOM serialization is identical.
+Deliberate divergence: HTMLParser raises AssertionError on unknown marked
+sections (``<![foo[...]]>``); a trillion-page crawl contains these, so this
+tokenizer treats them per the HTML5 bogus-comment rule instead.
+
+The regexes are the stdlib's own (same tolerant grammar), so attribute and
+tag-name parsing cannot drift.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+
+# stdlib html.parser's exact tolerant grammar
+_starttagopen = re.compile("<[a-zA-Z]")
+_tagfind = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+_attrfind = re.compile(
+    r"((?<=[\'\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"(\'[^\']*\'|\"[^\"]*\"|(?![\'\"])[^>\s]*))?(?:\s|/(?!>))*"
+)
+_locatestarttagend = re.compile(
+    r"""
+  <[a-zA-Z][^\t\n\r\f />\x00]*       # tag name
+  (?:[\s/]*                          # optional whitespace before attribute name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
+      (?:\s*=+\s*                    # value indicator
+        (?:'[^']*'                   # LITA-enclosed value
+          |"[^"]*"                   # LIT-enclosed value
+          |(?!['"])[^>\s]*           # bare value
+         )
+        \s*                          # possibly followed by a space
+       )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*                                # trailing whitespace
+""",
+    re.VERBOSE,
+)
+_endtagfind = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_commentclose = re.compile(r"--\s*>")
+_markedsectionclose = re.compile(r"]\s*]\s*>")
+_msmarkedsectionclose = re.compile(r"]\s*>")
+_declname = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+
+_CDATA_ELEMS = ("script", "style")
+_NEXT_INCOMPLETE = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
+
+
+def tokenize(data: str, builder) -> None:
+    """Drive ``builder`` (handle_starttag/handle_startendtag/handle_endtag/
+    handle_data/handle_comment/handle_decl/handle_pi/unknown_decl) over the
+    complete document string."""
+    n = len(data)
+    i = 0
+    find = data.find
+    startswith = data.startswith
+    h_data = builder.handle_data
+
+    cdata_elem: str | None = None
+    cdata_close = None
+
+    while i < n:
+        # ---- text run -------------------------------------------------
+        if cdata_elem is None:
+            j = find("<", i)
+            if j < 0:
+                j = n
+            if i < j:
+                chunk = data[i:j]
+                h_data(unescape(chunk) if "&" in chunk else chunk)
+            i = j
+            if i == n:
+                break
+        else:
+            m = cdata_close.search(data, i)
+            if m is None:
+                # unterminated script/style swallows the rest (stdlib parity)
+                return
+            if i < m.start():
+                h_data(data[i : m.start()])
+            i = m.start()
+
+        # ---- markup at data[i] == '<' --------------------------------
+        c1 = data[i + 1] if i + 1 < n else ""
+        if _starttagopen.match(data, i) and cdata_elem is None:
+            # start tag
+            m = _locatestarttagend.match(data, i)
+            j = m.end()
+            nxt = data[j : j + 1]
+            if nxt == ">":
+                endpos = j + 1
+            elif nxt == "/":
+                if startswith("/>", j):
+                    endpos = j + 2
+                else:
+                    endpos = j if j > i else i + 1
+            elif nxt == "" or nxt in _NEXT_INCOMPLETE:
+                # EOF inside tag — stdlib end-recovery: emit to next > or <
+                k = find(">", i + 1)
+                if k < 0:
+                    k = find("<", i + 1)
+                    if k < 0:
+                        k = i + 1
+                else:
+                    k += 1
+                chunk = data[i:k]
+                h_data(unescape(chunk) if "&" in chunk else chunk)
+                i = k
+                continue
+            else:
+                endpos = j if j > i else i + 1
+
+            tm = _tagfind.match(data, i + 1)
+            k = tm.end()
+            tag = tm.group(1).lower()
+            attrs = []
+            while k < endpos:
+                am = _attrfind.match(data, k)
+                if not am:
+                    break
+                attrname, rest, attrvalue = am.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif (
+                    attrvalue[:1] == "'" == attrvalue[-1:]
+                    or attrvalue[:1] == '"' == attrvalue[-1:]
+                ):
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue:
+                    attrvalue = unescape(attrvalue)
+                attrs.append((attrname.lower(), attrvalue))
+                k = am.end()
+            end = data[k:endpos].strip()
+            if end not in (">", "/>"):
+                h_data(data[i:endpos])  # stdlib: raw, no unescape
+                i = endpos
+                continue
+            if end == "/>":
+                builder.handle_startendtag(tag, attrs)
+            else:
+                builder.handle_starttag(tag, attrs)
+                if tag in _CDATA_ELEMS:
+                    cdata_elem = tag
+                    cdata_close = re.compile(r"</\s*%s\s*>" % tag, re.I)
+            i = endpos
+            continue
+
+        if c1 == "/":
+            # end tag
+            gt = find(">", i + 1)
+            if gt < 0:
+                # EOF recovery: no '>' anywhere — emit to next '<' or 1 char
+                k = find("<", i + 1)
+                if k < 0:
+                    k = i + 1
+                chunk = data[i:k]
+                h_data(unescape(chunk) if "&" in chunk else chunk)
+                i = k
+                continue
+            gtpos = gt + 1
+            m = _endtagfind.match(data, i)
+            if not m:
+                if cdata_elem is not None:
+                    h_data(data[i:gtpos])
+                    i = gtpos
+                    continue
+                nm = _tagfind.match(data, i + 2)
+                if not nm:
+                    if data[i : i + 3] == "</>":
+                        i = i + 3
+                        continue
+                    # bogus comment
+                    pos = find(">", i + 2)
+                    if pos == -1:
+                        i = _eof_recover(data, builder, i)
+                        continue
+                    builder.handle_comment(data[i + 2 : pos])
+                    i = pos + 1
+                    continue
+                tagname = nm.group(1).lower()
+                gt2 = find(">", nm.end())
+                builder.handle_endtag(tagname)
+                i = gt2 + 1  # gt2 >= 0 guaranteed (gt found above)
+                continue
+            elem = m.group(1).lower()
+            if cdata_elem is not None and elem != cdata_elem:
+                h_data(data[i:gtpos])
+                i = gtpos
+                continue
+            builder.handle_endtag(elem)
+            cdata_elem = None
+            cdata_close = None
+            i = gtpos
+            continue
+
+        if cdata_elem is not None:
+            # '<' that didn't open the closing tag inside cdata — literal
+            h_data("<")
+            i += 1
+            continue
+
+        if startswith("<!--", i):
+            m = _commentclose.search(data, i + 4)
+            if not m:
+                i = _eof_recover(data, builder, i)
+                continue
+            builder.handle_comment(data[i + 4 : m.start(0)])
+            i = m.end(0)
+            continue
+
+        if c1 == "?":
+            gt = find(">", i + 2)
+            if gt < 0:
+                i = _eof_recover(data, builder, i)
+                continue
+            builder.handle_pi(data[i + 2 : gt])
+            i = gt + 1
+            continue
+
+        if c1 == "!":
+            if startswith("<![", i):
+                # marked section; unknown keywords fall through to the
+                # bogus-comment rule instead of raising (divergence from
+                # stdlib, which crashes)
+                nm = _declname.match(data, i + 3)
+                name = nm.group().strip().lower() if nm else ""
+                if name in ("temp", "cdata", "ignore", "include", "rcdata"):
+                    m = _markedsectionclose.search(data, i + 3)
+                elif name in ("if", "else", "endif"):
+                    m = _msmarkedsectionclose.search(data, i + 3)
+                else:
+                    m = None
+                    pos = find(">", i + 2)
+                    if pos == -1:
+                        i = _eof_recover(data, builder, i)
+                        continue
+                    builder.handle_comment(data[i + 2 : pos])
+                    i = pos + 1
+                    continue
+                if not m:
+                    i = _eof_recover(data, builder, i)
+                    continue
+                builder.unknown_decl(data[i + 3 : m.start(0)])
+                i = m.end(0)
+                continue
+            if data[i : i + 9].lower() == "<!doctype":
+                gt = find(">", i + 9)
+                if gt == -1:
+                    i = _eof_recover(data, builder, i)
+                    continue
+                builder.handle_decl(data[i + 2 : gt])
+                i = gt + 1
+                continue
+            # bogus comment
+            pos = find(">", i + 2)
+            if pos == -1:
+                i = _eof_recover(data, builder, i)
+                continue
+            builder.handle_comment(data[i + 2 : pos])
+            i = pos + 1
+            continue
+
+        # lone '<'
+        h_data("<")
+        i += 1
+
+    # trailing text handled inside the loop (j = n case)
+
+
+def _eof_recover(data: str, builder, i: int) -> int:
+    """stdlib goahead(end=1) recovery for unterminated constructs: emit
+    data up to the next '>' (inclusive) or '<' (exclusive) or one char."""
+    k = data.find(">", i + 1)
+    if k < 0:
+        k = data.find("<", i + 1)
+        if k < 0:
+            k = i + 1
+    else:
+        k += 1
+    chunk = data[i:k]
+    builder.handle_data(unescape(chunk) if "&" in chunk else chunk)
+    return k

@@ -82,11 +82,11 @@ def _has_descendant_in(el: Element, tags: frozenset) -> bool:
     return False
 
 
-def _is_blank(el: Element) -> bool:
+def _is_blank(el: Element, text_content: str) -> bool:
     return (
         el.tag not in VOID_ELEMENTS
         and el.tag not in MEANINGFUL_WHEN_BLANK
-        and _JS_WS_ONLY_RE.match(el.text_content()) is not None
+        and _JS_WS_ONLY_RE.match(text_content) is not None
         and not _has_descendant_in(el, VOID_ELEMENTS)
         and not _has_descendant_in(el, MEANINGFUL_WHEN_BLANK)
     )
@@ -186,23 +186,12 @@ def collapse_whitespace(element: Element) -> None:
 # Escaping (turndown's escapes table, applied per text node)
 # ---------------------------------------------------------------------------
 
-# turndown's escapes table; replacement strings are raw so that `\\` means a
-# single literal backslash after re.sub's own escape processing.
-_ESCAPES = [
-    (re.compile(r"\\"), r"\\\\"),
-    (re.compile(r"\*"), r"\\*"),
-    (re.compile(r"^-"), r"\\-"),
-    (re.compile(r"^\+ "), r"\\+ "),
-    (re.compile(r"^(=+)"), r"\\\1"),
-    (re.compile(r"^(#{1,6}) "), r"\\\1 "),
-    (re.compile(r"`"), r"\\`"),
-    (re.compile(r"^~~~"), r"\\~~~"),
-    (re.compile(r"\["), r"\\["),
-    (re.compile(r"\]"), r"\\]"),
-    (re.compile(r"^>"), r"\\>"),
-    (re.compile(r"_"), r"\\_"),
-    (re.compile(r"^(\d+)\. "), r"\1\\. "),
-]
+# turndown's escapes table, applied in its exact order; the global rules are
+# plain character replacements and the anchored ones are prefix rewrites, so
+# everything runs as string ops (hot path — regex only for the two
+# length-sensitive anchors).
+_HASH_ANCHOR_RE = re.compile(r"^(#{1,6}) ")
+_OL_ANCHOR_RE = re.compile(r"^(\d+)\. ")
 
 _ESCAPE_TRIGGER = re.compile(r"[\\*`\[\]_]|^[-+=>#~0-9]")
 
@@ -234,8 +223,36 @@ def normalize_text_nodes(element: Element) -> None:
 def escape_markdown(text: str) -> str:
     if _ESCAPE_TRIGGER.search(text) is None:
         return text
-    for pattern, repl in _ESCAPES:
-        text = pattern.sub(repl, text)
+    if "\\" in text:
+        text = text.replace("\\", "\\\\")
+    if "*" in text:
+        text = text.replace("*", "\\*")
+    if text.startswith("-"):
+        text = "\\" + text
+    if text.startswith("+ "):
+        text = "\\" + text
+    if text.startswith("="):
+        text = "\\" + text
+    if text.startswith("#"):
+        m = _HASH_ANCHOR_RE.match(text)
+        if m:
+            text = "\\" + text
+    if "`" in text:
+        text = text.replace("`", "\\`")
+    if text.startswith("~~~"):
+        text = "\\" + text
+    if "[" in text:
+        text = text.replace("[", "\\[")
+    if "]" in text:
+        text = text.replace("]", "\\]")
+    if text.startswith(">"):
+        text = "\\" + text
+    if "_" in text:
+        text = text.replace("_", "\\_")
+    m = _OL_ANCHOR_RE.match(text)
+    if m:
+        digits = m.group(1)
+        text = digits + "\\" + text[len(digits):]
     return text
 
 
@@ -252,29 +269,29 @@ def _join(output: str, replacement: str) -> str:
     return s1 + "\n\n"[:nls] + s2
 
 
-def _is_flanked_by_whitespace(side: str, sibling) -> bool:
+def _is_flanked_by_whitespace(side: str, sibling, tc) -> bool:
     if sibling is None:
         return False
     if sibling.node_type == TEXT_NODE:
         value = sibling.data
     elif sibling.node_type == ELEMENT_NODE and not _is_block(sibling):
-        value = sibling.text_content()
+        value = tc(sibling)
     else:
         return False
     return value.endswith(" ") if side == "left" else value.startswith(" ")
 
 
-def _flanking_whitespace(node: Element, prev_sib, next_sib) -> tuple[str, str]:
+def _flanking_whitespace(node: Element, prev_sib, next_sib, tc) -> tuple[str, str]:
     if _is_block(node):
         return "", ""
-    m = _EDGE_WS_RE.match(node.text_content())
+    m = _EDGE_WS_RE.match(tc(node))
     if m is None:  # cannot happen — the regex matches any string
         return "", ""
     leading, leading_ascii, leading_non_ascii = m.group(1), m.group(2), m.group(3)
     trailing, trailing_non_ascii, trailing_ascii = m.group(4), m.group(5), m.group(6)
-    if leading_ascii and _is_flanked_by_whitespace("left", prev_sib):
+    if leading_ascii and _is_flanked_by_whitespace("left", prev_sib, tc):
         leading = leading_non_ascii
-    if trailing_ascii and _is_flanked_by_whitespace("right", next_sib):
+    if trailing_ascii and _is_flanked_by_whitespace("right", next_sib, tc):
         trailing = trailing_non_ascii
     return leading, trailing
 
@@ -335,6 +352,19 @@ class TurndownConverter:
 
     def _convert_root(self, root: Element) -> str:
         collapse_whitespace(root)
+        # per-conversion textContent cache: the tree is immutable during the
+        # walk, and blank/flanking checks each revisit the same subtrees
+        cache: dict = {}
+
+        def tc(node):
+            key = id(node)
+            value = cache.get(key)
+            if value is None:
+                value = node.text_content()
+                cache[key] = value
+            return value
+
+        self._tc = tc
         output = self._process(root)
         output = _LEAD_TRN_RE.sub("", output)
         return _TRAIL_WS_RE.sub("", output)
@@ -359,7 +389,7 @@ class TurndownConverter:
 
     def _replacement_for(self, node: Element, prev_sib, next_sib) -> str:
         content = self._process(node)
-        leading, trailing = _flanking_whitespace(node, prev_sib, next_sib)
+        leading, trailing = _flanking_whitespace(node, prev_sib, next_sib, self._tc)
         if leading or trailing:
             content = js_trim(content)
         return leading + self._apply_rule(node, content, next_sib) + trailing
@@ -368,7 +398,7 @@ class TurndownConverter:
     def _apply_rule(self, node: Element, content: str, next_sib) -> str:
         tag = node.tag
 
-        if _is_blank(node):
+        if _is_blank(node, self._tc(node)):
             return "\n\n" if _is_block(node) else ""
 
         # custom rule: images (converters.ts:179-216)
