@@ -26,7 +26,7 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
 
     from extractor_spark.spark.pipeline import PipelineConfig, run_pipeline
@@ -64,6 +64,27 @@ def main() -> None:
         (summary["html_bytes"] or 0) / 1e6 / timings["extract_pipeline"], 2
     )
     extras["convert_failures"] = summary["convert_failures"]
+
+    # flagship structured-extraction variant on a quarter of the corpus
+    from __spark_entry__ import BLOG_SCHEMA
+
+    pages_small = os.path.join(workdir, "pages_small.parquet")
+    write_pages(spark, pages_small, n_pages=n_pages // 4)
+    t0 = time.time()
+    summary2 = run_pipeline(
+        spark,
+        PipelineConfig(
+            pages_path=pages_small,
+            output_path=os.path.join(workdir, "out_structured"),
+            schema=BLOG_SCHEMA,
+            resume=False,
+        ),
+    )
+    timings["extract_pipeline_structured"] = round(time.time() - t0, 3)
+    extras["structured_docs_per_sec"] = round(
+        summary2["docs"] / timings["extract_pipeline_structured"], 1
+    )
+    extras["schema_validation_failures"] = summary2["schema_validation_failures"]
 
     bench_queries = [
         "pricing_summary",
