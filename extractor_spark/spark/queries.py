@@ -121,6 +121,61 @@ FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
+# As-of join — Spark has no native ASOF, so it is composed from a union +
+# last-non-null window (fully JVM-side, one shuffle; the standard scalable
+# shape).  Ties are removed up front: one order per (custkey, orderdate).
+# Oracle uses DuckDB's native ASOF JOIN.
+_ASOF_JOIN_SPARK = """
+WITH ord AS (
+  SELECT o_custkey AS key, o_orderdate AS t, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+),
+unioned AS (
+  SELECT key, t, o_orderkey, CAST(NULL AS BIGINT) AS event_id, 0 AS is_event FROM ord
+  UNION ALL
+  SELECT user_id AS key, ts AS t, CAST(NULL AS BIGINT), event_id, 1 FROM events
+),
+matched AS (
+  SELECT key, t, event_id, is_event,
+         last(o_orderkey, true) OVER (
+           PARTITION BY key ORDER BY t ASC, is_event ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS asof_orderkey
+  FROM unioned
+)
+SELECT event_id, key AS user_id, asof_orderkey
+FROM matched
+WHERE is_event = 1 AND asof_orderkey IS NOT NULL
+"""
+_ASOF_JOIN_ORACLE = """
+WITH ord AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey
+FROM events e
+ASOF JOIN ord o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+# Interval (range) join: events within 7 days after an order by the same
+# user — equi-key + range predicate (both engines hash-join then filter).
+_INTERVAL_JOIN_SPARK = """
+SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_events_7d
+FROM orders o JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL '7' DAY
+GROUP BY o.o_orderkey
+"""
+_INTERVAL_JOIN_ORACLE = """
+SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_events_7d
+FROM orders o JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o.o_orderkey
+"""
+
 # Approximate/statistical ops — engine-specific sketch values, rows-only.
 _APPROX_STATS = """
 SELECT event_type,
@@ -466,6 +521,8 @@ QUERIES: dict[str, tuple] = {
     "segment_revenue": (_sql(_SEGMENT_REVENUE), _SEGMENT_REVENUE),
     "customers_without_orders": (_sql(_CUSTOMERS_WITHOUT_ORDERS), _CUSTOMERS_WITHOUT_ORDERS),
     "customers_with_orders": (_sql(_CUSTOMERS_WITH_ORDERS), _CUSTOMERS_WITH_ORDERS),
+    "asof_latest_order": (_sql(_ASOF_JOIN_SPARK), _ASOF_JOIN_ORACLE),
+    "events_within_7d_of_order": (_sql(_INTERVAL_JOIN_SPARK), _INTERVAL_JOIN_ORACLE),
     "inactive_second_half_users": (_sql(_SET_OPS), _SET_OPS),
     "docs_rollup": (_sql(_DOCS_ROLLUP), _DOCS_ROLLUP),
     "running_value_per_user": (_sql(_RUNNING_VALUE), _RUNNING_VALUE),

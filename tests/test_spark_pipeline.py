@@ -182,6 +182,45 @@ def test_fused_equals_windowed(spark, pages_path, tmp_path):
     assert len(a) > 0
 
 
+def test_pipeline_survives_garbage_pages(spark, tmp_path):
+    """Crawl reality: non-UTF8 bytes, empty payloads, truncated markup,
+    deep nesting, nulls — the job must complete with per-row error
+    accounting, never crash."""
+    import datetime
+
+    import pandas as pd
+
+    from extractor_spark.spark.synth import PAGES_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        {"url": "https://g.test/latin1", "warc_ts": ts, "html": "café ñ <p>ok</p>".encode("latin-1"), "text": None, "lang": None},
+        {"url": "https://g.test/binary", "warc_ts": ts, "html": bytes(range(256)), "text": None, "lang": None},
+        {"url": "https://g.test/empty", "warc_ts": ts, "html": b"", "text": None, "lang": None},
+        {"url": "https://g.test/truncated", "warc_ts": ts, "html": b"<div><a href='x", "text": None, "lang": None},
+        {"url": "https://g.test/deep", "warc_ts": ts, "html": ("<div>" * 400 + "x").encode(), "text": None, "lang": None},
+        {"url": "https://g.test/marked", "warc_ts": ts, "html": b"<p>A<![bogus[x]]>B</p>", "text": None, "lang": None},
+        {"url": "https://g.test/huge-attr", "warc_ts": ts, "html": ("<p " + "a" * 10000 + "='v'>t</p>").encode(), "text": None, "lang": None},
+        {"url": "https://g.test/normal", "warc_ts": ts, "html": b"<h1>Fine</h1><p>body</p>", "text": None, "lang": "en"},
+    ]
+    pages_path = str(tmp_path / "garbage.parquet")
+    spark.createDataFrame(pd.DataFrame(rows), schema=PAGES_SCHEMA).write.parquet(pages_path)
+
+    out_dir = str(tmp_path / "out")
+    summary = run_pipeline(
+        spark,
+        PipelineConfig(pages_path=pages_path, output_path=out_dir, n_buckets=4, resume=False),
+    )
+    assert summary["docs"] == len(rows)
+    output = {r["url"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert output["https://g.test/normal"]["markdown"] == "Fine\n====\n\nbody"
+    assert output["https://g.test/marked"]["convert_error"] is None
+    assert "A" in output["https://g.test/marked"]["markdown"]
+    # every row either converted or carries an error, never both-null
+    for r in output.values():
+        assert (r["markdown"] is not None) or (r["convert_error"] is not None)
+
+
 def test_metrics_rollup(spark, pages_path, tmp_path):
     out_dir = str(tmp_path / "out_metrics")
     run_pipeline(
