@@ -63,6 +63,9 @@ class PipelineConfig:
     # limits, politeness, sorted host output).
     dedup_mode: str = "fused"
     partition_strategy: str = "hash"
+    # >1 = intra-run checkpointing: buckets split into this many commit
+    # waves, manifest refreshed after each (crash loses ≤ one wave).
+    waves: int = 1
     resume: bool = True
     context_path: str | None = None  # optional (url, context_json) side table
     custom_prompt: str | None = None
@@ -112,10 +115,13 @@ def defuse_skew(
     return df.repartition(partitions, "url_host", "salt")
 
 
-def completed_buckets(spark: SparkSession, manifest_path: str) -> DataFrame | None:
+def completed_buckets(spark: SparkSession, manifest_path: str) -> list[int] | None:
+    """Bucket ids already committed, materialized eagerly — later waves
+    overwrite the manifest files, so resume must not keep a lazy file
+    dependency on them."""
     try:
         manifest = spark.read.parquet(manifest_path)
-        return manifest.select("bucket").distinct()
+        return [r["bucket"] for r in manifest.select("bucket").distinct().collect()]
     except Exception:
         return None
 
@@ -135,27 +141,73 @@ def warmup(spark: SparkSession, pages_path: str, n_rows: int = 512) -> None:
 
 
 def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
-    """Execute (or resume) the pipeline; returns a run summary dict."""
+    """Execute (or resume) the pipeline; returns a run summary dict.
+
+    ``conf.waves > 1`` splits the remaining buckets into that many commit
+    waves — each wave writes its output and refreshes the manifest before
+    the next starts, so a mid-run failure loses at most one wave (the next
+    launch resumes from the manifest).  The tradeoff is one input scan per
+    wave; at petabyte scale pick waves so a wave is hours, not minutes.
+    """
     started = time.time()
     manifest_path = conf.resolved_manifest_path()
 
-    pages = spark.read.parquet(conf.pages_path)
-    pages = with_bucket(pages, conf.n_buckets)
+    pages_all = with_bucket(spark.read.parquet(conf.pages_path), conf.n_buckets)
 
     skipped_buckets = 0
     if conf.resume:
         done = completed_buckets(spark, manifest_path)
-        if done is not None:
-            skipped_buckets = done.count()
-            # manifest is tiny — broadcast anti-join, no shuffle of the data
-            pages = pages.join(F.broadcast(done), "bucket", "left_anti")
+        if done:
+            skipped_buckets = len(done)
+            # bucket list is tiny — a literal NOT IN filter (no shuffle,
+            # evaluated at the scan)
+            pages_all = pages_all.filter(~F.col("bucket").isin(done))
 
-    # Default compute parallelism: 4 waves per core slot for balance under
-    # per-document cost variance (page sizes are long-tailed).
+    # Default compute parallelism: 4 task waves per core slot for balance
+    # under per-document cost variance (page sizes are long-tailed).
     n_parts = conf.repartition or 4 * int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
 
+    waves = max(1, conf.waves)
+    for wave in range(waves):
+        pages = (
+            pages_all
+            if waves == 1
+            else pages_all.filter(F.pmod(F.col("bucket"), F.lit(waves)) == wave)
+        )
+        _run_wave(spark, conf, pages, n_parts, manifest_path)
+
+    wall = time.time() - started
+    # totals from the written manifest (tiny) — not a recompute of the agg
+    totals = (
+        spark.read.parquet(manifest_path).agg(
+            F.sum("docs_parsed").alias("docs"),
+            F.sum("html_bytes").alias("bytes"),
+            F.sum("convert_failures").alias("convert_failures"),
+            F.sum("schema_validation_failures").alias("schema_failures"),
+        ).collect()[0]
+    )
+    return {
+        "docs": totals["docs"],
+        "html_bytes": totals["bytes"],
+        "convert_failures": totals["convert_failures"],
+        "schema_validation_failures": totals["schema_failures"],
+        "skipped_buckets": skipped_buckets,
+        "wall_seconds": wall,
+        "docs_per_sec": (totals["docs"] or 0) / wall if wall > 0 else None,
+        "output_path": conf.output_path,
+        "manifest_path": manifest_path,
+    }
+
+
+def _run_wave(
+    spark: SparkSession,
+    conf: PipelineConfig,
+    pages: DataFrame,
+    n_parts: int,
+    manifest_path: str,
+) -> None:
     if conf.dedup_mode == "fused":
         # one shuffle: bucket partitioning co-locates url runs AND aligns
         # with the bucketed write (no further shuffle before the sink)
@@ -234,28 +286,6 @@ def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
         .withColumn("run_ts", F.lit(run_ts))
     )
     manifest_rows.write.mode("overwrite").parquet(manifest_path)
-
-    wall = time.time() - started
-    # totals from the written manifest (tiny) — not a recompute of the agg
-    totals = (
-        spark.read.parquet(manifest_path).agg(
-            F.sum("docs_parsed").alias("docs"),
-            F.sum("html_bytes").alias("bytes"),
-            F.sum("convert_failures").alias("convert_failures"),
-            F.sum("schema_validation_failures").alias("schema_failures"),
-        ).collect()[0]
-    )
-    return {
-        "docs": totals["docs"],
-        "html_bytes": totals["bytes"],
-        "convert_failures": totals["convert_failures"],
-        "schema_validation_failures": totals["schema_failures"],
-        "skipped_buckets": skipped_buckets,
-        "wall_seconds": wall,
-        "docs_per_sec": (totals["docs"] or 0) / wall if wall > 0 else None,
-        "output_path": conf.output_path,
-        "manifest_path": manifest_path,
-    }
 
 
 def summarize_metrics(spark: SparkSession, output_path: str) -> DataFrame:

@@ -43,6 +43,8 @@ def parse_args(argv):
     p.add_argument("--n-salt", type=int, default=64)
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--waves", type=int, default=1,
+                   help="intra-run checkpoint waves (crash loses at most one wave)")
     p.add_argument("--warmup", action="store_true",
                    help="run an untimed small-slice pass first (JIT/worker spawn)")
     p.add_argument("--cpus", type=int, default=None, help="local[N] when not using spark-submit")
@@ -85,6 +87,7 @@ def main(argv=None) -> int:
         n_salt=args.n_salt,
         repartition=args.partitions,
         resume=not args.no_resume,
+        waves=args.waves,
         context_path=args.context,
         custom_prompt=args.prompt,
         max_input_tokens=args.max_input_tokens,

@@ -182,6 +182,39 @@ def test_fused_equals_windowed(spark, pages_path, tmp_path):
     assert len(a) > 0
 
 
+def test_waves_checkpointing(spark, pages_path, tmp_path):
+    """waves>1 must produce identical output to a single wave, commit the
+    manifest incrementally, and resume across interrupted wave boundaries."""
+    out_a = str(tmp_path / "one_wave")
+    out_b = str(tmp_path / "three_waves")
+    run_pipeline(
+        spark,
+        PipelineConfig(pages_path=pages_path, output_path=out_a, n_buckets=9, resume=False),
+    )
+    summary_b = run_pipeline(
+        spark,
+        PipelineConfig(pages_path=pages_path, output_path=out_b, n_buckets=9, waves=3),
+    )
+    a = {(r["url"], r["markdown"]) for r in spark.read.parquet(out_a).select("url", "markdown").collect()}
+    b = {(r["url"], r["markdown"]) for r in spark.read.parquet(out_b).select("url", "markdown").collect()}
+    assert a == b
+
+    # simulate an interrupted run: keep only wave-0 buckets in the manifest
+    manifest_path = summary_b["manifest_path"]
+    manifest = spark.read.parquet(manifest_path).collect()
+    wave0 = [r for r in manifest if r["bucket"] % 3 == 0]
+    spark.createDataFrame(wave0, schema=spark.read.parquet(manifest_path).schema) \
+        .write.mode("overwrite").parquet(str(tmp_path / "m2"))
+    conf_resume = PipelineConfig(
+        pages_path=pages_path, output_path=out_b,
+        manifest_path=str(tmp_path / "m2"), n_buckets=9, waves=3,
+    )
+    summary_resumed = run_pipeline(spark, conf_resume)
+    assert summary_resumed["skipped_buckets"] == len(wave0)
+    resumed = {(r["url"], r["markdown"]) for r in spark.read.parquet(out_b).select("url", "markdown").collect()}
+    assert resumed == a
+
+
 def test_pipeline_survives_garbage_pages(spark, tmp_path):
     """Crawl reality: non-UTF8 bytes, empty payloads, truncated markup,
     deep nesting, nulls — the job must complete with per-row error
