@@ -1,0 +1,74 @@
+"""Turndown-7.2.2 semantics for constructs not covered by the reference's
+own literals — golden expectations derived from the public turndown
+package's default rules (commonmark-rules.js)."""
+
+from extractor_spark.engine.convert import html_to_markdown as md
+
+
+def test_hr():
+    assert md("<p>a</p><hr><p>b</p>") == "a\n\n* * *\n\nb"
+
+
+def test_atx_headings_h3_plus():
+    assert md("<h3>three</h3>") == "### three"
+    assert md("<h4>four</h4>") == "#### four"
+    assert md("<h6>six</h6>") == "###### six"
+
+
+def test_h2_setext():
+    assert md("<h2>sub</h2>") == "sub\n---"
+
+
+def test_ordered_list_with_start():
+    assert md("<ol start='5'><li>a</li><li>b</li></ol>") == "5.  a\n6.  b"
+
+
+def test_unordered_list_marker_and_indent():
+    assert md("<ul><li>one</li><li>two</li></ul>") == "*   one\n*   two"
+
+
+def test_nested_list_indentation():
+    out = md("<ul><li>a<ul><li>b</li></ul></li></ul>")
+    assert out == "*   a\n    *   b"
+
+
+def test_blockquote_nested():
+    assert md("<blockquote>x</blockquote>") == "> x"
+    assert md("<blockquote><blockquote>y</blockquote></blockquote>") == "> > y"
+    assert md("<blockquote><p>p1</p><p>p2</p></blockquote>") == "> p1\n> \n> p2"
+
+
+def test_inline_code_backticks():
+    assert md("<p>use <code>a`b</code></p>") == "use ``a`b``"
+    assert md("<p><code>`lead</code></p>") == "`` `lead ``"
+
+
+def test_pre_code_block_indented():
+    assert md("<pre><code>line1\nline2</code></pre>") == "line1\n    line2"
+
+
+def test_br_two_space_break():
+    assert md("<p>l1<br>l2</p>") == "l1  \nl2"
+
+
+def test_em_strong():
+    assert md("<p><em>e</em> and <strong>s</strong></p>") == "_e_ and **s**"
+    assert md("<p><em>  </em>x</p>") == "x"
+
+
+def test_empty_block_elements():
+    assert md("<p></p><div></div>") == ""
+
+
+def test_table_default_rule():
+    # turndown has no table rules by default: cells flow as blocks
+    out = md("<table><tr><td>a</td><td>b</td></tr></table>")
+    assert out == "a\n\nb"
+
+
+def test_keep_footer_form_content():
+    # tidy deliberately keeps footer/form/button/select/option/label
+    out = md("<footer>foot</footer><form><button>Buy</button>"
+             "<select><option>A</option></select><label>L</label></form>")
+    for frag in ("foot", "Buy", "A", "L"):
+        assert frag in out
