@@ -469,6 +469,48 @@ FROM bit_votes
 GROUP BY doc_id
 """
 
+# SimHash near-duplicate candidate pairs.  The 64-bit fingerprint is split
+# into 8 bands of 8 bits; a pair collides when any band matches, which by
+# pigeonhole catches EVERY pair with Hamming distance <= 7 (8 differing bits
+# cannot hit all 8 bands) — the banded join is therefore an exact index for
+# the final bit_count(xor) <= 7 predicate, not an approximation.  Shuffle is
+# 8 rows/doc; bucket fan-in is 256 buckets/band, so the self-join stays
+# sub-quadratic whenever docs spread over signatures (true for real corpora;
+# identical boilerplate templates collapse into one bucket, which is the
+# correct behavior for dedup).  Rows-only: DuckDB has no seeded xxhash64;
+# recall vs the oracled ngram_jaccard_pairs is pytest-gated
+# (tests/test_queries_oracle.py).
+_SIMHASH_PAIRS = """
+WITH exploded AS (
+  SELECT doc_id, xxhash64(tok) AS h
+  FROM documents LATERAL VIEW explode(split(trim(text), '\\\\s+')) t AS tok
+),
+bit_votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (shiftright(h, b.bit) & 1) = 1 THEN 1L ELSE -1L END) AS vote
+  FROM exploded LATERAL VIEW posexplode(sequence(0, 63)) b AS bit, bval
+  GROUP BY doc_id, b.bit
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN shiftleft(1L, bit) ELSE 0L END) AS h
+  FROM bit_votes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, h, b.pos AS band_idx,
+         shiftright(h, b.pos * 8) & 255 AS band_val
+  FROM fp LATERAL VIEW posexplode(sequence(0, 7)) b AS pos, pval
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, a.h AS h1, b.doc_id AS d2, b.h AS h2
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, CAST(bit_count(h1 ^ h2) AS INT) AS hamming
+FROM cand
+WHERE bit_count(h1 ^ h2) <= 7
+"""
+
 # Random-hyperplane LSH over embeddings: 16-bit signatures from xxhash64-
 # seeded pseudo-random planes; bucket histogram (ANN scale path).
 _LSH_COSINE_BUCKETS = """
@@ -491,6 +533,107 @@ WITH sigs AS (
 SELECT lsh_bucket, CAST(count(*) AS BIGINT) AS n_vectors
 FROM sigs GROUP BY lsh_bucket
 """
+
+
+# Banded random-hyperplane LSH candidate pairs with exact in-bucket verify —
+# the ANN scale path whose exact twin is the oracled embedding_cosine_dups.
+#
+# Shape (the plan that survives 100×): one mapInPandas pass computes all
+# band signatures per vector with a single numpy GEMM (Arrow-batched — no
+# per-row Python), emitting B base rows + B·b Hamming-1 probe rows per
+# vector; a band-keyed self-join (base side vs base+probe side) yields
+# candidates, and an exact JVM-side cosine (aggregate/zip_with, codegen'd)
+# keeps only true pairs, so precision is 1.0 by construction and only recall
+# is probabilistic.  Shuffle is B(1+b) small rows/vector; candidate volume
+# per band is sum(bucket²)/2 — sub-quadratic whenever signatures spread.
+#
+# Parameter note: the oracle twin uses threshold 0.45, which for hyperplane
+# LSH is a WEAK similarity (bit-agreement p = 1 - arccos(0.45)/π ≈ 0.65), so
+# the defaults below are OR-heavy (24 bands × 8 bits + multi-probe) to hold
+# recall ≥ 0.9 in that regime; production near-dup dedup (cos ≥ 0.8, p ≈
+# 0.80) gets sub-quadratic candidate volume from the same operator with
+# fewer/wider bands (e.g. 8 × 16 bits, no probe).
+_LSH_SEED = 0x5EED2024
+_LSH_N_BANDS = 24
+_LSH_BAND_BITS = 8
+_LSH_VERIFY_THRESHOLD = 0.45
+
+_LSH_PAIRS_VERIFY_SQL = f"""
+WITH base AS (
+  SELECT vec_id, band_idx, band_sig FROM lsh_sigs WHERE probe = 0
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+  FROM base a JOIN lsh_sigs b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+   AND a.vec_id < b.vec_id
+)
+SELECT c.v1, c.v2
+FROM cand c
+JOIN embeddings e1 ON c.v1 = e1.vec_id
+JOIN embeddings e2 ON c.v2 = e2.vec_id
+WHERE aggregate(zip_with(e1.embedding, e2.embedding,
+                         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                0D, (acc, v) -> acc + v)
+      / (sqrt(aggregate(e1.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+         * sqrt(aggregate(e2.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+      >= {_LSH_VERIFY_THRESHOLD}
+"""
+
+
+def _lsh_cosine_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate generation + verify for embedding near-dup pairs (see the
+    block comment above for the scale analysis)."""
+    _views(spark, sf_dir)
+    n_bands, band_bits = _LSH_N_BANDS, _LSH_BAND_BITS
+
+    def signatures(batches):
+        import numpy as np
+        import pandas as pd
+
+        planes = None
+        weights = (np.int64(1) << np.arange(band_bits, dtype=np.int64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            if planes is None:
+                # deterministic planes: every task derives the same matrix
+                planes = np.random.default_rng(_LSH_SEED).standard_normal(
+                    (n_bands * band_bits, X.shape[1])
+                )
+            bits = (X @ planes.T) > 0.0
+            sigs = bits.reshape(len(X), n_bands, band_bits) @ weights  # (n, B)
+            vec_ids = pdf["vec_id"].to_numpy()
+            n = len(X)
+            base_vid = np.repeat(vec_ids, n_bands)
+            base_band = np.tile(np.arange(n_bands, dtype=np.int32), n)
+            base_sig = sigs.reshape(-1)
+            # Hamming-1 multi-probe: one flipped-bit signature per bit
+            probe_sig = (base_sig[:, None] ^ weights[None, :]).reshape(-1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(
+                        [base_vid, np.repeat(base_vid, band_bits)]
+                    ).astype(np.int64),
+                    "band_idx": np.concatenate(
+                        [base_band, np.repeat(base_band, band_bits)]
+                    ).astype(np.int32),
+                    "band_sig": np.concatenate([base_sig, probe_sig]).astype(np.int64),
+                    "probe": np.concatenate(
+                        [
+                            np.zeros(n * n_bands, dtype=np.int32),
+                            np.ones(n * n_bands * band_bits, dtype=np.int32),
+                        ]
+                    ),
+                }
+            )
+
+    sigs = spark.table("embeddings").select("vec_id", "embedding").mapInPandas(
+        signatures, schema="vec_id bigint, band_idx int, band_sig bigint, probe int"
+    )
+    sigs.createOrReplaceTempView("lsh_sigs")
+    return spark.sql(_LSH_PAIRS_VERIFY_SQL)
 
 
 # Embedding-cosine near-duplicate pairs (dedup family, exact baseline for
@@ -538,5 +681,7 @@ QUERIES: dict[str, tuple] = {
     "approx_stats": (_sql(_APPROX_STATS), None),
     "minhash_lsh_candidates": (_sql(_MINHASH_CANDIDATES), None),
     "simhash_fingerprints": (_sql(_SIMHASH), None),
+    "simhash_candidate_pairs": (_sql(_SIMHASH_PAIRS), None),
     "lsh_cosine_buckets": (_sql(_LSH_COSINE_BUCKETS), None),
+    "lsh_cosine_candidate_pairs": (_lsh_cosine_candidate_pairs, None),
 }

@@ -82,3 +82,39 @@ def test_minhash_candidates_cover_true_pairs(spark):
     assert exact, "expected planted near-duplicates in the documents table"
     missed = exact - approx
     assert not missed, f"LSH missed true near-dup pairs: {missed}"
+
+
+def test_simhash_candidates_cover_true_pairs(spark):
+    """Hamming-banded SimHash join must recall the exact-Jaccard (>=0.8)
+    pairs (their fingerprints sit at Hamming <= 5 on sf0.01; the 8x8-bit
+    banding guarantees every Hamming <= 7 pair is a candidate)."""
+    exact = {
+        (r["d1"], r["d2"])
+        for r in ALL_QUERIES["ngram_jaccard_pairs"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["d1"], r["d2"])
+        for r in ALL_QUERIES["simhash_candidate_pairs"](spark, SF_DIR).collect()
+    }
+    assert exact, "expected planted near-duplicates in the documents table"
+    missed = exact - approx
+    assert not missed, f"SimHash bands missed true near-dup pairs: {missed}"
+
+
+def test_lsh_cosine_candidates_recall_and_precision(spark):
+    """Banded hyperplane LSH + exact verify vs the oracled exact twin:
+    precision must be 1.0 (the verify stage recomputes exact cosine) and
+    recall >= 0.9 (VERDICT r1 gate; deterministic — planes are seeded)."""
+    exact = {
+        (r["v1"], r["v2"])
+        for r in ALL_QUERIES["embedding_cosine_dups"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["v1"], r["v2"])
+        for r in ALL_QUERIES["lsh_cosine_candidate_pairs"](spark, SF_DIR).collect()
+    }
+    assert exact, "expected near-dup embedding pairs at sf0.01"
+    false_pos = approx - exact
+    assert not false_pos, f"verify stage leaked non-pairs: {false_pos}"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({exact - approx} missed)"
