@@ -19,6 +19,12 @@ At 10^12-document scale every step stays shuffle-bounded: one shuffle for the
 dedup window, one for the skew repartition; the manifest join broadcasts
 (manifest ≪ data); output partitioning by bucket gives idempotent re-runs
 (dynamic partition overwrite replaces exactly the re-processed buckets).
+
+Manifest contract (resume identity): one row per (bucket, run); rows record
+``n_buckets`` — the bucket-assignment modulus — and resume FAILS LOUDLY on a
+mismatch (a silent mismatch would skip the wrong buckets).  Each wave appends
+only its own buckets' rows, aggregated from the wave's partition directories
+(partition-pruned read — previously-committed waves are never re-scanned).
 """
 
 from __future__ import annotations
@@ -27,6 +33,7 @@ import datetime
 import json
 import os
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -115,15 +122,42 @@ def defuse_skew(
     return df.repartition(partitions, "url_host", "salt")
 
 
-def completed_buckets(spark: SparkSession, manifest_path: str) -> list[int] | None:
+def completed_buckets(
+    spark: SparkSession, manifest_path: str, expected_n_buckets: int | None = None
+) -> list[int] | None:
     """Bucket ids already committed, materialized eagerly — later waves
-    overwrite the manifest files, so resume must not keep a lazy file
-    dependency on them."""
+    append to the manifest files, so resume must not keep a lazy file
+    dependency on them.
+
+    ``expected_n_buckets``: bucket identity is xxhash64(url) % n_buckets, so
+    resuming a manifest written under a different modulus would silently
+    skip the WRONG buckets (missing/duplicate rows).  Manifest rows record
+    their n_buckets; any mismatch raises."""
     try:
         manifest = spark.read.parquet(manifest_path)
-        return [r["bucket"] for r in manifest.select("bucket").distinct().collect()]
+        rows = manifest.select("bucket", "n_buckets").distinct().collect()
     except Exception:
         return None
+    if expected_n_buckets is not None:
+        seen = {r["n_buckets"] for r in rows}
+        bad = seen - {expected_n_buckets}
+        if bad:
+            raise ValueError(
+                f"manifest at {manifest_path} was written with n_buckets={sorted(bad)} "
+                f"but this run uses n_buckets={expected_n_buckets}; bucket identity is "
+                "xxhash64(url) % n_buckets, so resuming would skip the wrong buckets. "
+                "Re-run with the original n_buckets or start a fresh output/manifest."
+            )
+    return sorted({r["bucket"] for r in rows})
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """FS-agnostic recursive delete via the Hadoop FileSystem API (works on
+    local paths in the sandbox and on HDFS/S3A on a cluster)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def warmup(spark: SparkSession, pages_path: str, n_rows: int = 512) -> None:
@@ -151,17 +185,22 @@ def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
     """
     started = time.time()
     manifest_path = conf.resolved_manifest_path()
+    run_id = uuid.uuid4().hex[:12]
 
     pages_all = with_bucket(spark.read.parquet(conf.pages_path), conf.n_buckets)
 
     skipped_buckets = 0
+    done: list[int] = []
     if conf.resume:
-        done = completed_buckets(spark, manifest_path)
+        done = completed_buckets(spark, manifest_path, conf.n_buckets) or []
         if done:
             skipped_buckets = len(done)
             # bucket list is tiny — a literal NOT IN filter (no shuffle,
             # evaluated at the scan)
             pages_all = pages_all.filter(~F.col("bucket").isin(done))
+    else:
+        # fresh run: drop any stale manifest so totals/resume never mix runs
+        _delete_path(spark, manifest_path)
 
     # Default compute parallelism: 4 task waves per core slot for balance
     # under per-document cost variance (page sizes are long-tailed).
@@ -169,6 +208,7 @@ def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
 
+    done_set = set(done)
     waves = max(1, conf.waves)
     for wave in range(waves):
         pages = (
@@ -176,26 +216,45 @@ def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
             if waves == 1
             else pages_all.filter(F.pmod(F.col("bucket"), F.lit(waves)) == wave)
         )
-        _run_wave(spark, conf, pages, n_parts, manifest_path)
+        wave_buckets = [
+            b
+            for b in range(conf.n_buckets)
+            if b % waves == wave and b not in done_set
+        ]
+        _run_wave(spark, conf, pages, n_parts, manifest_path, wave_buckets, run_id)
 
     wall = time.time() - started
-    # totals from the written manifest (tiny) — not a recompute of the agg
-    totals = (
-        spark.read.parquet(manifest_path).agg(
-            F.sum("docs_parsed").alias("docs"),
-            F.sum("html_bytes").alias("bytes"),
-            F.sum("convert_failures").alias("convert_failures"),
-            F.sum("schema_validation_failures").alias("schema_failures"),
-        ).collect()[0]
-    )
+    # totals from the written manifest (tiny) — not a recompute of the agg.
+    # Per-run figures come from THIS run's manifest rows only (a resumed run
+    # must not claim previously-committed docs in its throughput).
+    try:
+        manifest = spark.read.parquet(manifest_path)
+    except Exception:  # nothing ever written (fully-empty input)
+        manifest = None
+    zero = {"docs": 0, "bytes": 0, "convert_failures": 0, "schema_failures": 0}
+    if manifest is not None:
+        agg = [
+            F.coalesce(F.sum("docs_parsed"), F.lit(0)).alias("docs"),
+            F.coalesce(F.sum("html_bytes"), F.lit(0)).alias("bytes"),
+            F.coalesce(F.sum("convert_failures"), F.lit(0)).alias("convert_failures"),
+            F.coalesce(F.sum("schema_validation_failures"), F.lit(0)).alias(
+                "schema_failures"
+            ),
+        ]
+        totals = manifest.filter(F.col("run_id") == run_id).agg(*agg).collect()[0]
+        cumulative = manifest.agg(*agg).collect()[0]
+    else:
+        totals = cumulative = zero
     return {
         "docs": totals["docs"],
         "html_bytes": totals["bytes"],
         "convert_failures": totals["convert_failures"],
         "schema_validation_failures": totals["schema_failures"],
+        "cumulative_docs": cumulative["docs"],
         "skipped_buckets": skipped_buckets,
         "wall_seconds": wall,
         "docs_per_sec": (totals["docs"] or 0) / wall if wall > 0 else None,
+        "run_id": run_id,
         "output_path": conf.output_path,
         "manifest_path": manifest_path,
     }
@@ -207,6 +266,8 @@ def _run_wave(
     pages: DataFrame,
     n_parts: int,
     manifest_path: str,
+    wave_buckets: list[int],
+    run_id: str,
 ) -> None:
     if conf.dedup_mode == "fused":
         # one shuffle: bucket partitioning co-locates url runs AND aligns
@@ -258,8 +319,18 @@ def _run_wave(
     output.write.mode("overwrite").partitionBy("bucket").parquet(conf.output_path)
 
     # Manifest: one row per completed bucket with lineage + metrics,
-    # aggregated from the written output (second, cheap action).
-    written = spark.read.parquet(conf.output_path)
+    # aggregated from THIS wave's bucket partitions only.  The filter is on
+    # the partition column, so Catalyst prunes every previously-committed
+    # bucket directory — a W-wave run reads each output byte once, not W
+    # times.  Rows are APPENDED; a crash between the output write and this
+    # append just reprocesses the wave (idempotent via dynamic overwrite).
+    try:
+        written = spark.read.parquet(conf.output_path)
+    except Exception:
+        # fully-filtered wave into a not-yet-existing output dir: nothing
+        # was written, so there is nothing to commit
+        return
+    written = written.filter(F.col("bucket").isin(wave_buckets))
     agg_cols = [
         F.count("*").alias("docs_parsed"),
         F.sum("html_bytes").alias("html_bytes"),
@@ -284,8 +355,12 @@ def _run_wave(
         .withColumn("input_path", F.lit(conf.pages_path))
         .withColumn("code_version", F.lit(CODE_VERSION))
         .withColumn("run_ts", F.lit(run_ts))
+        .withColumn("run_id", F.lit(run_id))
+        # resume identity + provenance (completed_buckets checks n_buckets)
+        .withColumn("n_buckets", F.lit(conf.n_buckets))
+        .withColumn("dedup_mode", F.lit(conf.dedup_mode))
     )
-    manifest_rows.write.mode("overwrite").parquet(manifest_path)
+    manifest_rows.write.mode("append").parquet(manifest_path)
 
 
 def summarize_metrics(spark: SparkSession, output_path: str) -> DataFrame:

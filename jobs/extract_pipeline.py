@@ -39,7 +39,10 @@ def parse_args(argv):
     p.add_argument("--extract-main-html", action="store_true")
     p.add_argument("--include-images", action="store_true")
     p.add_argument("--clean-urls", action="store_true")
-    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--n-buckets", type=int, default=512,
+                   help="resume identity (bucket = xxhash64(url) %% n_buckets); must match\n"
+                        "across runs of the same output — the manifest records it and a\n"
+                        "mismatched resume fails loudly")
     p.add_argument("--n-salt", type=int, default=64)
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--no-resume", action="store_true")

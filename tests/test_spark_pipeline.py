@@ -264,3 +264,65 @@ def test_metrics_rollup(spark, pages_path, tmp_path):
     rows = rollup.collect()
     assert len(rows) > 1
     assert rows[0]["docs"] >= rows[-1]["docs"]  # ordered by docs desc
+
+
+def test_manifest_identity_and_per_run_totals(spark, pages_path, tmp_path):
+    """Round-2 manifest contract: rows record n_buckets (resume identity),
+    each wave appends exactly its own buckets (no rescan/rewrite of prior
+    waves), a mismatched-n_buckets resume fails loudly, and per-run totals
+    exclude previously-committed buckets."""
+    out_dir = str(tmp_path / "out")
+    conf = PipelineConfig(pages_path=pages_path, output_path=out_dir, n_buckets=9, waves=3)
+    summary = run_pipeline(spark, conf)
+
+    manifest = spark.read.parquet(summary["manifest_path"])
+    rows = manifest.collect()
+    # exactly one manifest row per non-empty bucket — the old implementation
+    # re-aggregated ALL buckets every wave and overwrote the manifest
+    buckets = [r["bucket"] for r in rows]
+    assert len(buckets) == len(set(buckets))
+    assert {r["n_buckets"] for r in rows} == {9}
+    assert {r["run_id"] for r in rows} == {summary["run_id"]}
+    assert {r["dedup_mode"] for r in rows} == {"fused"}
+
+    # the wave read-back prunes to the wave's bucket partitions: the filter
+    # lands in PartitionFilters, not a post-scan Filter over all data
+    plan = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("bucket").isin([0, 3, 6]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [bucket" in plan
+
+    # resuming with a different n_buckets must fail loudly, not skip wrong buckets
+    bad = PipelineConfig(pages_path=pages_path, output_path=out_dir, n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_pipeline(spark, bad)
+
+    # resumed run: per-run docs are 0 (everything skipped); cumulative keeps the total
+    summary2 = run_pipeline(spark, conf)
+    assert summary2["docs"] == 0
+    assert summary2["cumulative_docs"] == summary["docs"]
+    assert summary2["skipped_buckets"] == len(buckets)
+
+
+def test_pipeline_empty_input_does_not_crash(spark, tmp_path):
+    """A wave that writes zero rows into a fresh output dir must complete
+    (ADVICE r1: the manifest refresh used to crash on schema inference)."""
+    import pandas as pd
+
+    from extractor_spark.spark.synth import PAGES_SCHEMA
+
+    pages_path = str(tmp_path / "empty.parquet")
+    spark.createDataFrame(
+        pd.DataFrame({"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}),
+        schema=PAGES_SCHEMA,
+    ).write.parquet(pages_path)
+
+    out_dir = str(tmp_path / "out")
+    summary = run_pipeline(
+        spark,
+        PipelineConfig(pages_path=pages_path, output_path=out_dir, n_buckets=4, waves=2),
+    )
+    assert summary["docs"] == 0
+    assert summary["convert_failures"] == 0
