@@ -85,6 +85,17 @@ def main() -> None:
         summary2["docs"] / timings["extract_pipeline_structured"], 1
     )
     extras["schema_validation_failures"] = summary2["schema_validation_failures"]
+    if summary2["schema_validation_failures"]:
+        # self-document the failures (expected: the 4 unit-literal
+        # micro-pages lacking the blog schema's required fields; pinned by
+        # tests/test_spark_pipeline.py::test_pipeline_with_extraction)
+        out_structured = spark.read.parquet(os.path.join(workdir, "out_structured"))
+        extras["schema_failure_urls"] = sorted(
+            r["url"]
+            for r in out_structured.filter("extract_error IS NOT NULL")
+            .select("url")
+            .collect()
+        )
 
     bench_queries = [
         "pricing_summary",

@@ -201,6 +201,14 @@ FROM documents
 GROUP BY ROLLUP(lang, source)
 """
 
+# CUBE (all grouping sets over the two dimensions; ROLLUP's sibling).
+_DOCS_CUBE = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY CUBE(lang, source)
+"""
+
 # Running window aggregate per user (value scaled to exact integer cents).
 _RUNNING_VALUE = """
 SELECT user_id, event_id,
@@ -668,6 +676,7 @@ QUERIES: dict[str, tuple] = {
     "events_within_7d_of_order": (_sql(_INTERVAL_JOIN_SPARK), _INTERVAL_JOIN_ORACLE),
     "inactive_second_half_users": (_sql(_SET_OPS), _SET_OPS),
     "docs_rollup": (_sql(_DOCS_ROLLUP), _DOCS_ROLLUP),
+    "docs_cube": (_sql(_DOCS_CUBE), _DOCS_CUBE),
     "running_value_per_user": (_sql(_RUNNING_VALUE), _RUNNING_VALUE),
     "events_hourly": (_sql(_EVENTS_HOURLY_SPARK), _EVENTS_HOURLY_ORACLE),
     "user_sessions": (_sql(_SESSIONS_SPARK), _SESSIONS_ORACLE),

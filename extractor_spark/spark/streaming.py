@@ -54,59 +54,107 @@ _SESSION_STATE_SCHEMA = "start_us bigint, end_us bigint, n bigint"
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
-def _session_func(key, pdf_iter, state):
-    """applyInPandasWithState body: 30-minute-gap sessionization per user.
+_SESSION_COLS = ["user_id", "session_start_us", "session_end_us", "n_events", "closed"]
 
-    Emits a row per closed session; the still-open tail session is emitted
-    with ``closed=false`` each time the group sees data (so a drained
-    static source yields the complete sessionization).
+
+def _make_session_func(emit_open_tails: bool):
+    """applyInPandasWithState body factory: 30-minute-gap sessionization.
+
+    Always emits a row per session CLOSED by an observed gap.  An EVENT-TIME
+    timeout of one gap finalizes idle users: when the watermark passes a
+    session's end + gap, the stored session is emitted with ``closed=true``
+    and its state cleared — long-running streams never hold a tail session
+    forever, and state size stays watermark-bounded.  (A processing-time
+    timeout would keep an availableNow drain alive until the wall-clock gap
+    elapsed; event-time timeouts advance with the data and terminate.)
+
+    ``emit_open_tails=True`` additionally emits the still-open tail with
+    ``closed=false`` whenever the group sees data, so a single availableNow
+    drain of a static source yields the COMPLETE sessionization (the batch
+    twin).  On a multi-batch stream this re-emits a growing tail per batch
+    in append mode — consumers must then keep, per (user_id,
+    session_start_us), the row with the greatest session_end_us (or prefer
+    closed=true).  Use ``emit_open_tails=False`` for continuous streams to
+    get exactly-one-row-per-session semantics from the timeout alone.
     """
-    import pandas as pd
 
-    (user_id,) = key
-    if state.exists:
-        start_us, end_us, n = state.get
-    else:
-        start_us = end_us = None
-        n = 0
+    def session_func(key, pdf_iter, state):
+        import pandas as pd
 
-    out_rows = []
-    for pdf in pdf_iter:
-        ts_us = sorted(int(v) for v in pdf["ts_us"])
-        for t in ts_us:
-            if start_us is None:
-                start_us, end_us, n = t, t, 1
-            elif t - end_us > SESSION_GAP_US:
-                out_rows.append((user_id, start_us, end_us, n, True))
-                start_us, end_us, n = t, t, 1
-            else:
-                end_us = max(end_us, t)
-                n += 1
+        (user_id,) = key
 
-    if start_us is not None:
-        state.update((start_us, end_us, n))
-        out_rows.append((user_id, start_us, end_us, n, False))
+        if state.hasTimedOut:
+            # watermark passed end + gap with no new data: finalize
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, start_us, end_us, n, True)], columns=_SESSION_COLS
+            )
+            return
 
-    yield pd.DataFrame(
-        out_rows,
-        columns=["user_id", "session_start_us", "session_end_us", "n_events", "closed"],
-    )
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us = end_us = None
+            n = 0
+
+        out_rows = []
+        for pdf in pdf_iter:
+            ts_us = sorted(int(v) for v in pdf["ts_us"])
+            for t in ts_us:
+                if start_us is None:
+                    start_us, end_us, n = t, t, 1
+                elif t - end_us > SESSION_GAP_US:
+                    out_rows.append((user_id, start_us, end_us, n, True))
+                    start_us, end_us, n = t, t, 1
+                else:
+                    end_us = max(end_us, t)
+                    n += 1
+
+        if start_us is not None:
+            state.update((start_us, end_us, n))
+            # fire once the watermark passes the session's close boundary;
+            # must be strictly beyond the current watermark for late data
+            close_ms = end_us // 1000 + SESSION_GAP_US // 1000
+            state.setTimeoutTimestamp(max(close_ms, state.getCurrentWatermarkMs() + 1))
+            if emit_open_tails:
+                out_rows.append((user_id, start_us, end_us, n, False))
+
+        yield pd.DataFrame(out_rows, columns=_SESSION_COLS)
+
+    return session_func
 
 
-def stream_user_sessions(spark: SparkSession, events_dir: str):
+def stream_user_sessions(
+    spark: SparkSession,
+    events_dir: str,
+    emit_open_tails: bool = True,
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
+):
     """Custom stateful streaming operator (applyInPandasWithState):
-    per-user 30-minute-gap sessionization with explicit state.  Returns the
-    streaming DataFrame; attach a sink and drain."""
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    per-user 30-minute-gap sessionization with explicit state and an
+    event-time timeout that closes idle tails once the watermark passes
+    end + gap (see _make_session_func for the emit_open_tails contract).
+    Returns the streaming DataFrame; attach a sink and drain.
+
+    ``max_files_per_trigger`` bounds each micro-batch (also makes an
+    availableNow drain multi-batch, advancing the watermark between files)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_dir)
     events = stream.select(
-        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
-    )
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).withWatermark("ts", watermark)
     return events.groupBy("user_id").applyInPandasWithState(
-        _session_func,
+        _make_session_func(emit_open_tails),
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf="EventTimeTimeout",
     )
 
 
@@ -121,7 +169,8 @@ def stream_convert_pages(
     Returns the StreamingQuery (caller stops it)."""
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.rdd.isEmpty():
+        # DataFrame.isEmpty: no RDD conversion, one cheap limit-1 job
+        if batch_df.isEmpty():
             return
         converted = convert_stage(batch_df.select("url", "warc_ts", "html", "lang"))
         converted.write.mode("append").parquet(output_dir)

@@ -118,3 +118,31 @@ def test_lsh_cosine_candidates_recall_and_precision(spark):
     assert not false_pos, f"verify stage leaked non-pairs: {false_pos}"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({exact - approx} missed)"
+
+
+def test_approx_stats_within_tolerance(spark):
+    """Bound the sketch ops against DuckDB exact values: approx distinct
+    users within 5% of exact; approx percentiles inside a rank window
+    (p50 in [exact q40, q60]; p99 in [exact q98, max])."""
+    rows = {
+        r["event_type"]: r
+        for r in ALL_QUERIES["approx_stats"](spark, SF_DIR).collect()
+    }
+    con = _duck()
+    exact = con.execute(
+        """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               quantile_disc(value, 0.40) AS q40,
+               quantile_disc(value, 0.60) AS q60,
+               quantile_disc(value, 0.98) AS q98,
+               max(value) AS vmax
+        FROM events GROUP BY event_type
+        """
+    ).fetchall()
+    assert exact and set(rows) == {e[0] for e in exact}
+    for event_type, users, q40, q60, q98, vmax in exact:
+        r = rows[event_type]
+        assert abs(r["approx_users"] - users) <= 0.05 * users, event_type
+        assert q40 <= r["p50_value"] <= q60, event_type
+        assert q98 <= r["p99_value"] <= vmax, event_type

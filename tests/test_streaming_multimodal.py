@@ -185,3 +185,72 @@ def test_decode_image_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG....")
+
+
+def test_sessionization_event_time_timeout_closes_idle_tails(spark, tmp_path):
+    """Multi-batch stream with emit_open_tails=False: a user idle past the
+    gap must have their session finalized by the event-time timeout once
+    later data advances the watermark (ADVICE r1: tails used to never close
+    and open sessions duplicated across micro-batches)."""
+    import datetime
+
+    import pandas as pd
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            [
+                {
+                    "event_id": i,
+                    "ts": ts,
+                    "user_id": uid,
+                    "event_type": "view",
+                    "value": 1.0,
+                    "props": None,
+                }
+                for i, (uid, ts) in enumerate(rows)
+            ]
+        )
+        spark.createDataFrame(
+            pdf,
+            schema="event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(events_dir / name))
+
+    # batch 1: user 1 has a two-event session ending at t0+5min
+    write_file("f1", [(1, t0), (1, t0 + datetime.timedelta(minutes=5))])
+    # batch 2: user 2 events three hours later -> watermark (max_ts - 30min)
+    # passes user 1's close boundary (t0+35min), firing the timeout
+    write_file("f2", [(2, t0 + datetime.timedelta(hours=3))])
+
+    from extractor_spark.spark.streaming import stream_user_sessions
+
+    q = (
+        stream_user_sessions(
+            spark,
+            str(events_dir / "*"),
+            emit_open_tails=False,
+            max_files_per_trigger=1,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_timeout_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM sessions_timeout_out").collect()
+    by_user = {r["user_id"]: r for r in rows}
+    # user 1's session was closed by the timeout, exactly once
+    assert 1 in by_user, f"idle tail never closed: {rows}"
+    u1 = [r for r in rows if r["user_id"] == 1]
+    assert len(u1) == 1 and u1[0]["closed"] is True
+    assert u1[0]["n_events"] == 2
+    # user 2's tail is still open (watermark never passed it) -> no row
+    assert 2 not in by_user
