@@ -3,10 +3,14 @@ reference uses on Gemini-style string outputs
 (/root/reference/src/extractors.ts:216-222).
 
 Handles the malformed-JSON patterns LLMs actually emit: markdown code fences,
-single-quoted strings, unquoted object keys, trailing commas, missing commas
-between siblings, JS literals (NaN/undefined), and truncated documents
-(brackets balanced at EOF).  Pure function; used inside the extract stage's
-fallback path only.
+single/smart-quoted strings, unquoted object keys, trailing commas, missing
+commas between siblings, JS/Python literals (NaN/undefined/None), string
+concatenation ("a" + "b"), ellipsis placeholders in arrays/objects, invalid
+escape sequences, special number forms (.5 / 5. / 2.3e+), non-ASCII
+whitespace, and truncated documents (brackets balanced at EOF) — the
+jsonrepair 3.13.3 repertoire minus NDJSON/JSONP/MongoDB wrappers (not
+LLM-output shapes).  Pure function; used inside the extract stage's fallback
+path only.
 """
 
 from __future__ import annotations
@@ -15,6 +19,45 @@ import json
 import re
 
 _FENCE_RE = re.compile(r"^\s*```(?:json)?\s*|\s*```\s*$", re.S)
+
+# quote characters accepted as string delimiters (jsonrepair's special-quote
+# normalization); each maps to the set of characters that may close it
+_QUOTE_PAIRS = {
+    '"': {'"'},
+    "'": {"'"},
+    "“": {"”", "“"},  # “ ”
+    "‘": {"’", "‘"},  # ‘ ’
+    "´": {"´", "`"},  # ´
+    "`": {"`", "´"},
+}
+
+_VALID_ESCAPES = set('"\\/bfnrtu')
+
+# JS-flavored number (possibly malformed: leading/trailing dot, empty or
+# signed-empty exponent)
+_NUMBER_RE = re.compile(r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d*)?")
+
+
+def _normalize_number(tok: str) -> str:
+    """Make a JS-ish numeric token strict-JSON: 0-pad bare dots, complete
+    empty exponents, drop a leading '+'."""
+    if tok.startswith("+"):
+        tok = tok[1:]
+    sign = ""
+    if tok.startswith("-"):
+        sign, tok = "-", tok[1:]
+    mantissa, e, exponent = tok.partition("e") if "e" in tok else tok.partition("E")
+    if mantissa.startswith("."):
+        mantissa = "0" + mantissa
+    if mantissa.endswith("."):
+        mantissa += "0"
+    if e:
+        if exponent in ("", "+", "-"):
+            exponent += "0"
+        if exponent.startswith("+"):
+            exponent = exponent[1:]
+        return sign + mantissa + "e" + exponent
+    return sign + mantissa
 
 
 def json_repair(text: str) -> str:
@@ -38,7 +81,10 @@ def json_repair(text: str) -> str:
         default=-1,
     )
     if start == -1:
-        raise ValueError("no JSON payload found")
+        if s and s[0] in _QUOTE_PAIRS:
+            start = 0  # top-level string (e.g. '"a" + "b"')
+        else:
+            raise ValueError("no JSON payload found")
     s = s[start:]
 
     out: list[str] = []
@@ -58,11 +104,28 @@ def json_repair(text: str) -> str:
         c = s[i]
         if in_string:
             if c == "\\" and i + 1 < n:
-                out.append(c)
-                out.append(s[i + 1])
+                nxt = s[i + 1]
+                if nxt in _VALID_ESCAPES:
+                    out.append(c)
+                    out.append(nxt)
+                else:
+                    # stray escape — drop the backslash, keep the character
+                    out.append('\\"' if nxt == '"' else nxt)
                 i += 2
                 continue
-            if c == quote_char:
+            if c in _QUOTE_PAIRS.get(quote_char, ()):
+                # string concatenation: '"a" + "b"' merges into one string
+                j = i + 1
+                while j < n and s[j].isspace():
+                    j += 1
+                if j < n and s[j] == "+":
+                    j += 1
+                    while j < n and s[j].isspace():
+                        j += 1
+                    if j < n and s[j] in _QUOTE_PAIRS:
+                        quote_char = s[j]
+                        i = j + 1
+                        continue
                 in_string = False
                 out.append('"')
             elif c == '"':
@@ -74,7 +137,7 @@ def json_repair(text: str) -> str:
             i += 1
             continue
 
-        if c in "\"'":
+        if c in _QUOTE_PAIRS:
             prev = _last_significant()
             if prev not in ("", "{", "[", ",", ":"):
                 # string starting where a comma was forgotten
@@ -82,6 +145,29 @@ def json_repair(text: str) -> str:
             in_string = True
             quote_char = c
             out.append('"')
+            i += 1
+            continue
+        if s.startswith("...", i):
+            # ellipsis placeholder inside an array/object — drop it (and a
+            # following comma when nothing precedes it in the container)
+            i += 3
+            if _last_significant() in ("[", "{"):
+                while i < n and s[i].isspace():
+                    i += 1
+                if i < n and s[i] == ",":
+                    i += 1
+            continue
+        if c.isdigit() or (c in "+-." and i + 1 < n and s[i + 1].isdigit()):
+            m = _NUMBER_RE.match(s, i)
+            if m:
+                prev = _last_significant()
+                if prev in ('"', "}", "]") or prev.isdigit():
+                    out.append(",")  # missing comma before a number
+                out.append(_normalize_number(m.group(0)))
+                i = m.end()
+                continue
+        if c.isspace() and not c.isascii():
+            out.append(" ")  # non-breaking/unicode whitespace between tokens
             i += 1
             continue
         if c in "{[":

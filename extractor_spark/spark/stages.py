@@ -39,14 +39,39 @@ CONVERT_SCHEMA = T.StructType(
     ]
 )
 
-_MD_STRIP = dict.fromkeys(map(ord, "#*_`[]()!>=-"), None)
+import re as _re
+
+# Positional markdown stripping: in turndown output every LITERAL markdown
+# character is backslash-escaped, so unescaped '*'/'_'/'`' are always
+# emphasis/code markers and line-leading markers are always syntax — words
+# like 'well-known' or 'snake\_case' survive intact (the escape is removed
+# last).
+_MD_SETEXT_OR_HR = _re.compile(r"(?m)^(?:=+|-+|\* \* \*)\s*$")
+_MD_IMAGE = _re.compile(r"!\[((?:\\.|[^\]\\])*)\]\((?:\\.|[^)\\])*\)")
+_MD_LINK = _re.compile(r"(?<!!)\[((?:\\.|[^\]\\])*)\]\((?:\\.|[^)\\])*\)")
+_MD_LINE_PREFIX = _re.compile(r"(?m)^\s*(?:> ?)*(?:#{1,6} |(?:[*+-]|\d+\.) )?")
+_MD_CODE_SPAN = _re.compile(r"`([^`\n]*)`")
+_MD_CODE_PROTECT = _re.compile(r"([*_`])")
+_MD_MARKERS = _re.compile(r"(?<!\\)[*_`]")
+_MD_UNESCAPE = _re.compile(r"\\([\\`*_{}\[\]()#+\-.!=>~])")
 
 
 def markdown_to_text(markdown: str) -> str:
-    """Cheap plain-text projection of the markdown (the pipeline's ``text``
-    output column; the reference exposes only markdown, text is the
-    training-data-friendly extra)."""
-    return " ".join(markdown.translate(_MD_STRIP).split())
+    """Plain-text projection of the markdown (the pipeline's ``text`` output
+    column; the reference exposes only markdown, text is the training-data-
+    friendly extra).  Markdown syntax is stripped positionally — line
+    prefixes, setext underlines, link/image syntax, emphasis markers — never
+    by character class, so legitimate in-word punctuation survives."""
+    s = _MD_SETEXT_OR_HR.sub("", markdown)
+    s = _MD_IMAGE.sub(r"\1", s)
+    s = _MD_LINK.sub(r"\1", s)
+    s = _MD_LINE_PREFIX.sub("", s)
+    # code spans: drop the backticks but escape the raw content so the
+    # marker pass below can't eat literal *_` inside code
+    s = _MD_CODE_SPAN.sub(lambda m: _MD_CODE_PROTECT.sub(r"\\\1", m.group(1)), s)
+    s = _MD_MARKERS.sub("", s)
+    s = _MD_UNESCAPE.sub(r"\1", s)
+    return " ".join(s.split())
 
 
 def convert_stage(
