@@ -142,9 +142,51 @@ def synth_page_html(page_id: int, variant: int = 0) -> str:
 </html>"""
 
 
+def adversarial_page_html(page_id: int) -> str:
+    """Well-formed but converter-hostile page (regenerateGroundTruth.ts-style
+    sanitized shape, plus the constructs that historically break markdown
+    converters): markdown-significant literals needing escapes, nested
+    lists/blockquotes, body-level <title>, aria-hidden nodes, svg, broken
+    quotes in attributes, uppercase/backslash/Amazon-/ref= link targets,
+    data: images, entities, pre/code blocks.  Deterministic per page_id;
+    used for cross-mode byte-identity goldens (every page must convert with
+    no error and identical bytes in fused vs windowed pipelines)."""
+    w = _words(page_id, "adv", 12)
+    k = page_id % 7
+    return f"""<!DOCTYPE html>
+<html><head><title>Head Title {page_id}</title><style>.x{{}}</style></head>
+<body>
+  <title>Body * Title _{page_id}_</title>
+  <h1>Escape 1. Test [{page_id}] + - = # &gt; `tick`</h1>
+  <p aria-hidden="true">invisible {w}</p>
+  <svg><circle r="1"/></svg>
+  <p>Literal *stars* and _unders_ and 1986. A year. {w}</p>
+  <blockquote><p>Outer quote</p><blockquote><p>Inner &amp; &lt;quote&gt;</p></blockquote></blockquote>
+  <ul><li>one<ul><li>nested {k}</li><li>deeper <strong>bold *{k}*</strong></li></ul></li><li>two</li></ul>
+  <ol><li>first</li><li>second with <em>em_phasis</em></li></ol>
+  <pre><code>code_block(x) = *raw* {k}</code></pre>
+  <p><a href="img\\{k}.png">backslash</a>
+     <a href="//CDN.Example.net/p/{k}">proto-relative UPPER</a>
+     <a href="https://www.amazon.com/dp/B{page_id:07d}/ref=sr_1_{k}">amazon ref</a>
+     <a href="docs/file ({k}).pdf">parens name</a>
+     <a href="MAILTO:a@b.c">mail</a></p>
+  <p><img src="data:image/gif;base64,R0lGOD{k}" alt="inline [img]">
+     <img src="../up/{k}.jpg" alt='dotted "path"' title="t{k}"></p>
+  <p broken="un"closed>broken attr paragraph {w}</p>
+  <hr>
+  <p>“smart quotes” and ‘singles’ — em–dash &copy; {page_id}</p>
+</body></html>"""
+
+
+ADVERSARIAL_EVERY = 16  # every Nth synthetic page uses the hostile template
+
+
 def _synth_row(page_id: int, variant: int = 0) -> dict:
     host = _host_of(page_id)
-    html = synth_page_html(page_id, variant)
+    if page_id % ADVERSARIAL_EVERY == 7 and variant == 0:
+        html = adversarial_page_html(page_id)
+    else:
+        html = synth_page_html(page_id, variant)
     ts = _BASE_TS + datetime.timedelta(
         seconds=page_id * 17 % 31_536_000, days=variant
     )
