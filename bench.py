@@ -108,6 +108,13 @@ def main() -> None:
         "minhash_lsh_candidates",
         "embedding_topk",
         "lsh_cosine_buckets",
+        # round-2 additions
+        "simhash_candidate_pairs",
+        "lsh_cosine_candidate_pairs",
+        "dedup_clusters",
+        "bpe_token_counts",
+        "rolling_fingerprints",
+        "ivf_topk",
     ]
     for name in bench_queries:
         fn, _oracle = QUERIES[name]

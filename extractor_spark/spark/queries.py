@@ -322,6 +322,75 @@ SELECT doc_id,
 FROM documents
 """
 
+# BPE-style subword pre-tokenization (GPT-2-shaped, RE2-safe: alternation
+# only, no lookarounds, ASCII classes so Java-regex and RE2 agree byte-wise):
+# contractions, letter runs, single digits, punctuation runs.
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\s']+"
+# Spark SQL string literals process backslash escapes; DuckDB's don't but
+# need embedded quotes doubled
+_BPE_SPARK_LIT = '"' + _BPE_PATTERN.replace("\\", "\\\\") + '"'
+_BPE_DUCK_LIT = "'" + _BPE_PATTERN.replace("'", "''") + "'"
+_BPE_TOKENS_SPARK = f"""
+SELECT doc_id,
+       CAST(size(regexp_extract_all(text, {_BPE_SPARK_LIT}, 0)) AS BIGINT) AS n_bpe_tokens,
+       CAST(size(array_distinct(regexp_extract_all(text, {_BPE_SPARK_LIT}, 0))) AS BIGINT) AS n_unique_bpe
+FROM documents
+"""
+_BPE_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, {_BPE_DUCK_LIT})) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, {_BPE_DUCK_LIT}))) AS BIGINT) AS n_unique_bpe
+FROM documents
+"""
+
+# Rolling-hash document fingerprints (winnowing-style bottom-k sketch):
+# polynomial hash of every 8-char gram — per-term mod keeps the arithmetic
+# inside BIGINT identically in both engines — then the 8 smallest distinct
+# gram hashes per doc form the fingerprint.  Shared fingerprint rows across
+# docs indicate shared content spans (the classic plagiarism/near-dup
+# primitive).  Exploded-gram shuffle is ∝ total chars; at 100 TB the same
+# expression runs as a projection + map-side partial min-k.
+_POW131 = [pow(131, j, 2147483647) for j in range(8)]
+_GRAM_HASH = " + ".join(
+    f"(CAST(ascii(substr(text, p + {j}, 1)) AS BIGINT) * {_POW131[j]}) % 2147483647"
+    for j in range(8)
+)
+_ROLLING_FP_SPARK = f"""
+WITH grams AS (
+  SELECT doc_id, ({_GRAM_HASH}) % 2147483647 AS gram_hash
+  FROM documents
+  LATERAL VIEW explode(sequence(1, length(text) - 7)) t AS p
+  WHERE length(text) >= 8
+),
+ranked AS (
+  SELECT DISTINCT doc_id, gram_hash FROM grams
+)
+SELECT doc_id, CAST(rank AS INT) AS fp_rank, CAST(gram_hash AS BIGINT) AS fp
+FROM (
+  SELECT doc_id, gram_hash,
+         row_number() OVER (PARTITION BY doc_id ORDER BY gram_hash) AS rank
+  FROM ranked
+) WHERE rank <= 8
+"""
+_ROLLING_FP_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS p
+  FROM documents WHERE length(text) >= 8
+),
+grams AS (
+  SELECT doc_id, ({_GRAM_HASH}) % 2147483647 AS gram_hash FROM pos
+),
+ranked AS (
+  SELECT DISTINCT doc_id, gram_hash FROM grams
+)
+SELECT doc_id, CAST(rank AS INT) AS fp_rank, CAST(gram_hash AS BIGINT) AS fp
+FROM (
+  SELECT doc_id, gram_hash,
+         row_number() OVER (PARTITION BY doc_id ORDER BY gram_hash) AS rank
+  FROM ranked
+) t WHERE rank <= 8
+"""
+
 # Marker-word language ID heuristic (n-gram-lite; deterministic CASE).
 _LANG_ID = """
 SELECT doc_id,
@@ -383,6 +452,73 @@ JOIN sizes s1 ON p.d1 = s1.doc_id
 JOIN sizes s2 ON p.d2 = s2.doc_id
 WHERE CAST(p.common AS DOUBLE) / (s1.n + s2.n - p.common) >= 0.8
 """
+
+# Near-duplicate CLUSTERS: connected components over the exact-Jaccard pair
+# graph via iterative min-label propagation — the step a real dedup pipeline
+# runs after candidate generation (pairs alone don't dedup; components +
+# canonical pick do).  Spark side is a driver-coordinated Pregel-lite loop:
+# each iteration is one shuffle (edges ⋈ labels, groupBy min), state is
+# localCheckpoint'ed so the plan doesn't grow; iterations ∝ component
+# diameter (near-dup clusters are band-induced quasi-cliques, so 2-4 in
+# practice; at petabyte scale swap in alternating large/small-star for
+# log-diameter convergence).  Oracle: DuckDB recursive CTE transitive
+# closure + min.  Docs with no duplicate get their own id as cluster_id.
+_DEDUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE
+pairs AS ({jaccard}),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL
+  SELECT d2, d1 FROM pairs
+),
+reach(doc_id, rid) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.rid
+)
+SELECT doc_id, CAST(min(rid) AS BIGINT) AS cluster_id
+FROM reach GROUP BY doc_id
+""".format(jaccard=_JACCARD_ORACLE)
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    _views(spark, sf_dir)
+    pairs = spark.sql(_JACCARD_SPARK)
+    edges = pairs.selectExpr("d1 AS src", "d2 AS dst").unionAll(
+        pairs.selectExpr("d2 AS src", "d1 AS dst")
+    )
+    edges = edges.repartition(edges.sparkSession.sparkContext.defaultParallelism, "src")
+    edges.persist()
+    labels = spark.table("documents").select(
+        F.col("doc_id"), F.col("doc_id").alias("label")
+    ).localCheckpoint()
+
+    while True:
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("ndoc"), "label")
+            .groupBy("ndoc")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.ndoc, "left")
+            .select(
+                labels.doc_id,
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "label"
+                ),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+        ).localCheckpoint()  # truncate lineage each round
+        n_changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").cast("long").alias("cluster_id"))
+
 
 # ---------------------------------------------------------------------------
 # Similarity search over `embeddings`
@@ -663,6 +799,109 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.45
 """
 
+# IVF approximate nearest neighbour: a coarse quantizer trained with
+# distributed Lloyd k-means (assignment = one numpy GEMM per Arrow batch;
+# partial per-cell sums combined map-side, so each iteration shuffles only
+# n_cells rows per batch, never vectors), then top-k search probes the
+# query's nprobe nearest cells and runs exact cosine inside them.  Driver
+# state is just the k×d centroid matrix.  At 100 TB: train on a sample,
+# store (vec_id, cell) bucketed by cell, and a query touches nprobe cells'
+# partitions only — candidate volume ∝ nprobe/k of the data.  Rows-only;
+# recall-gated in pytest against the oracled exact twin (embedding_topk).
+_IVF_SEED = 0x1FF2024
+_IVF_K = 16
+_IVF_NPROBE = 6
+_IVF_ITERS = 5
+
+
+def _ivf_centroids(spark: SparkSession) -> "object":
+    import numpy as np
+
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    rng = np.random.default_rng(_IVF_SEED)
+    centroids = rng.standard_normal((_IVF_K, dim))
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    schema = "cell int, cnt long, vsum array<double>"
+    for _ in range(_IVF_ITERS):
+        c = centroids  # capture per-iteration value
+
+        def partial_sums(batches, c=c):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+                xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+                cell = (xn @ c.T).argmax(axis=1)
+                rows = []
+                for g in np.unique(cell):
+                    grp = x[cell == g]
+                    rows.append((int(g), len(grp), grp.sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["cell", "cnt", "vsum"])
+
+        parts = emb.mapInPandas(partial_sums, schema=schema).collect()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(_IVF_K)
+        for r in parts:
+            sums[r["cell"]] += np.asarray(r["vsum"])
+            counts[r["cell"]] += r["cnt"]
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+        centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    return centroids
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    _views(spark, sf_dir)
+    centroids = _ivf_centroids(spark)
+
+    query = spark.sql("SELECT embedding FROM embeddings WHERE vec_id = 0").first()
+    q = np.asarray(query["embedding"], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe_cells = np.argsort(-(centroids @ qn))[:_IVF_NPROBE].tolist()
+
+    c = centroids
+
+    def assign(batches, c=c):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": (xn @ c.T).argmax(axis=1).astype("int32")}
+            )
+
+    cells = spark.table("embeddings").select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id bigint, cell int"
+    )
+    cells.createOrReplaceTempView("ivf_cells")
+    q_lit = "array(" + ", ".join(f"{v}D" for v in q.tolist()) + ")"
+    return spark.sql(f"""
+        SELECT e.vec_id AS vec_id,
+               CAST(round(
+                 aggregate(zip_with(e.embedding, {q_lit},
+                                    (x, y) -> CAST(x AS DOUBLE) * y),
+                           0D, (acc, v) -> acc + v)
+                 / (sqrt(aggregate(e.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+                    * sqrt(aggregate({q_lit}, 0D, (acc, v) -> acc + v * v)))
+               , 4) AS DOUBLE) AS cos_sim
+        FROM embeddings e JOIN ivf_cells c ON e.vec_id = c.vec_id
+        WHERE c.cell IN ({", ".join(str(p) for p in probe_cells)}) AND e.vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 10
+    """)
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     "pricing_summary": (_sql(_PRICING_SUMMARY), _PRICING_SUMMARY),
@@ -681,6 +920,9 @@ QUERIES: dict[str, tuple] = {
     "events_hourly": (_sql(_EVENTS_HOURLY_SPARK), _EVENTS_HOURLY_ORACLE),
     "user_sessions": (_sql(_SESSIONS_SPARK), _SESSIONS_ORACLE),
     "token_counts": (_sql(_TOKEN_COUNTS_SPARK), _TOKEN_COUNTS_ORACLE),
+    "bpe_token_counts": (_sql(_BPE_TOKENS_SPARK), _BPE_TOKENS_ORACLE),
+    "rolling_fingerprints": (_sql(_ROLLING_FP_SPARK), _ROLLING_FP_ORACLE),
+    "dedup_clusters": (_dedup_clusters, _DEDUP_CLUSTERS_ORACLE),
     "quality_scores": (_sql(_QUALITY_SPARK), _QUALITY_ORACLE),
     "lang_id": (_sql(_LANG_ID), _LANG_ID),
     "ngram_jaccard_pairs": (_sql(_JACCARD_SPARK), _JACCARD_ORACLE),
@@ -693,4 +935,5 @@ QUERIES: dict[str, tuple] = {
     "simhash_candidate_pairs": (_sql(_SIMHASH_PAIRS), None),
     "lsh_cosine_buckets": (_sql(_LSH_COSINE_BUCKETS), None),
     "lsh_cosine_candidate_pairs": (_lsh_cosine_candidate_pairs, None),
+    "ivf_topk": (_ivf_topk, None),
 }

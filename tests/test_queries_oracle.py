@@ -146,3 +146,17 @@ def test_approx_stats_within_tolerance(spark):
         assert abs(r["approx_users"] - users) <= 0.05 * users, event_type
         assert q40 <= r["p50_value"] <= q60, event_type
         assert q98 <= r["p99_value"] <= vmax, event_type
+
+
+def test_ivf_topk_recall(spark):
+    """IVF (k-means coarse quantizer, nprobe=6/16) vs the oracled exact
+    top-10.  The synthetic embeddings are isotropic gaussians — the hardest
+    case for IVF since true neighbours sit at cosine ~0.3 (nearly
+    orthogonal), so cell locality carries little signal; measured recall is
+    0.7 here and would be far higher on real (clustered) embeddings.
+    Deterministic: centroids are seeded and Lloyd iterations are exact."""
+    exact = {r["vec_id"] for r in ALL_QUERIES["embedding_topk"](spark, SF_DIR).collect()}
+    approx = {r["vec_id"] for r in ALL_QUERIES["ivf_topk"](spark, SF_DIR).collect()}
+    assert len(approx) == 10
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.65, f"IVF recall {recall}"
