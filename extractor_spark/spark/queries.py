@@ -355,22 +355,35 @@ _GRAM_HASH = " + ".join(
     f"(CAST(ascii(substr(text, p + {j}, 1)) AS BIGINT) * {_POW131[j]}) % 2147483647"
     for j in range(8)
 )
-_ROLLING_FP_SPARK = f"""
-WITH grams AS (
-  SELECT doc_id, ({_GRAM_HASH}) % 2147483647 AS gram_hash
-  FROM documents
-  LATERAL VIEW explode(sequence(1, length(text) - 7)) t AS p
-  WHERE length(text) >= 8
-),
-ranked AS (
-  SELECT DISTINCT doc_id, gram_hash FROM grams
+# Spark side decodes the string into a codepoint array ONCE per doc —
+# substr(text, p, 1) on UTF8String re-scans from the start (O(p) per call →
+# O(n²) per doc, measured 16 s at sf0.1); element_at on the array is O(1)
+# (1.3 s).  The oracle keeps the substr form (DuckDB, sf0.01 only) — the
+# arithmetic is identical.
+_GRAM_HASH_ARR = " + ".join(
+    f"(cp[p + {j - 1}] * {_POW131[j]}) % 2147483647" for j in range(8)
 )
-SELECT doc_id, CAST(rank AS INT) AS fp_rank, CAST(gram_hash AS BIGINT) AS fp
-FROM (
-  SELECT doc_id, gram_hash,
-         row_number() OVER (PARTITION BY doc_id ORDER BY gram_hash) AS rank
-  FROM ranked
-) WHERE rank <= 8
+_ROLLING_FP_SPARK = f"""
+WITH chars AS (
+  SELECT doc_id,
+         transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS cp,
+         length(text) AS n
+  FROM documents WHERE length(text) >= 8
+),
+grams AS (
+  SELECT doc_id, ({_GRAM_HASH_ARR}) % 2147483647 AS gram_hash
+  FROM chars
+  LATERAL VIEW explode(sequence(1, n - 7)) t AS p
+),
+-- single map-side-combined aggregation (collect_set partials merge per
+-- task), then the bottom-8 slice — replaces a DISTINCT shuffle + a
+-- row_number window sort over every gram
+sketched AS (
+  SELECT doc_id, slice(array_sort(collect_set(gram_hash)), 1, 8) AS fps
+  FROM grams GROUP BY doc_id
+)
+SELECT doc_id, CAST(pos + 1 AS INT) AS fp_rank, CAST(fp AS BIGINT) AS fp
+FROM sketched LATERAL VIEW posexplode(fps) t AS pos, fp
 """
 _ROLLING_FP_ORACLE = f"""
 WITH pos AS (
@@ -389,6 +402,84 @@ FROM (
          row_number() OVER (PARTITION BY doc_id ORDER BY gram_hash) AS rank
   FROM ranked
 ) t WHERE rank <= 8
+"""
+
+# PII scrubbing: emails, US-shaped phone numbers, IPv4 — RE2-safe patterns
+# (no lookarounds/backrefs) so Java regex and RE2 replace identically;
+# pure projection, embarrassingly parallel at any scale.
+_PII_EMAIL = r"[A-Za-z0-9._+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9]{1,2}[ .-]?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}"
+_PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+def _spark_re_lit(pattern: str) -> str:
+    # Spark SQL string literals process backslash escapes; double them
+    return "'" + pattern.replace("\\", "\\\\") + "'"
+
+
+_PII_SPARK = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         {_spark_re_lit(_PII_EMAIL)}, '<EMAIL>'),
+         {_spark_re_lit(_PII_IPV4)}, '<IP>'),
+         {_spark_re_lit(_PII_PHONE)}, '<PHONE>') AS scrubbed,
+       CAST(size(regexp_extract_all(text, {_spark_re_lit(_PII_EMAIL)}, 0)) AS BIGINT) AS n_emails
+FROM documents
+"""
+_PII_ORACLE = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '{_PII_IPV4}', '<IP>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails
+FROM documents
+"""
+
+# Repetition-based quality signal (Gopher-style): fraction of lines that are
+# duplicates within the document, scaled to integer per-mille for exactness.
+_REPETITION_SPARK = """
+WITH lines AS (
+  SELECT doc_id, line
+  FROM documents LATERAL VIEW explode(split(text, '\\n')) t AS line
+  WHERE length(trim(line)) > 0
+),
+per_line AS (
+  SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_lines,
+       CAST(sum(c) - count(*) AS BIGINT) AS n_dup_lines,
+       CAST(round(1000.0 * (sum(c) - count(*)) / sum(c)) AS BIGINT) AS dup_permille
+FROM per_line
+GROUP BY doc_id
+"""
+_REPETITION_ORACLE = """
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM documents
+),
+nonempty AS (
+  SELECT doc_id, line FROM lines WHERE length(trim(line)) > 0
+),
+per_line AS (
+  SELECT doc_id, line, count(*) AS c FROM nonempty GROUP BY doc_id, line
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_lines,
+       CAST(sum(c) - count(*) AS BIGINT) AS n_dup_lines,
+       CAST(round(1000.0 * (sum(c) - count(*)) / sum(c)) AS BIGINT) AS dup_permille
+FROM per_line
+GROUP BY doc_id
+"""
+
+# Exact-duplicate groups (hash-groupBy dedup / decontamination primitive):
+# md5 the full text, keep groups of size > 1 with the canonical (min) id.
+_EXACT_DUP_GROUPS = """
+SELECT md5(text) AS fingerprint,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+FROM documents
+GROUP BY md5(text)
+HAVING count(*) > 1
 """
 
 # Marker-word language ID heuristic (n-gram-lite; deterministic CASE).
@@ -921,6 +1012,9 @@ QUERIES: dict[str, tuple] = {
     "user_sessions": (_sql(_SESSIONS_SPARK), _SESSIONS_ORACLE),
     "token_counts": (_sql(_TOKEN_COUNTS_SPARK), _TOKEN_COUNTS_ORACLE),
     "bpe_token_counts": (_sql(_BPE_TOKENS_SPARK), _BPE_TOKENS_ORACLE),
+    "pii_scrub": (_sql(_PII_SPARK), _PII_ORACLE),
+    "repetition_scores": (_sql(_REPETITION_SPARK), _REPETITION_ORACLE),
+    "exact_dup_groups": (_sql(_EXACT_DUP_GROUPS), _EXACT_DUP_GROUPS),
     "rolling_fingerprints": (_sql(_ROLLING_FP_SPARK), _ROLLING_FP_ORACLE),
     "dedup_clusters": (_dedup_clusters, _DEDUP_CLUSTERS_ORACLE),
     "quality_scores": (_sql(_QUALITY_SPARK), _QUALITY_ORACLE),
