@@ -1,0 +1,140 @@
+"""Minimal WARC/1.x reader for crawl ingestion (pure Python, no deps).
+
+Parses the subset a page pipeline needs: ``response`` (and ``resource``)
+records with their target URI, capture timestamp, and HTTP payload body.
+Handles the two layouts Common-Crawl ships: plain ``.warc`` and
+``.warc.gz`` with one gzip member per record (concatenated members are
+decompressed in a loop — stdlib ``gzip.decompress`` stops at the first
+member, ``zlib`` with window 31 exposes ``unused_data`` so we can walk
+them all).
+
+The reference has no acquisition layer beyond fixture reads
+(/root/reference/tests/integration/extract.test.ts:26-29); this is the
+Spark-first source for the Iceberg-style ``pages`` table the engine
+actually runs on (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import datetime
+import zlib
+from dataclasses import dataclass
+
+
+@dataclass
+class WarcRecord:
+    headers: dict[str, str]  # lowercased keys
+    payload: bytes
+
+    @property
+    def record_type(self) -> str:
+        return self.headers.get("warc-type", "")
+
+    @property
+    def target_uri(self) -> str | None:
+        uri = self.headers.get("warc-target-uri")
+        if uri and uri.startswith("<") and uri.endswith(">"):
+            uri = uri[1:-1]  # WARC/1.0 allows angle-bracketed URIs
+        return uri
+
+    @property
+    def date(self) -> datetime.datetime | None:
+        raw = self.headers.get("warc-date")
+        if not raw:
+            return None
+        try:
+            return datetime.datetime.fromisoformat(raw.replace("Z", "+00:00"))
+        except ValueError:
+            return None
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Decompress ALL concatenated gzip members (CC writes one per record)."""
+    out = bytearray()
+    rest = data
+    while rest:
+        d = zlib.decompressobj(31)
+        out += d.decompress(rest)
+        out += d.flush()
+        if not d.unused_data or d.unused_data == rest:
+            break
+        rest = d.unused_data
+    return bytes(out)
+
+
+def iter_warc_records(data: bytes):
+    """Yield WarcRecord for each record in a (decompressed) WARC byte
+    stream.  Tolerant: records with unparseable headers or lengths are
+    skipped, not raised — a trillion-page crawl contains every corruption."""
+    i = 0
+    n = len(data)
+    while i < n:
+        # seek the version line
+        start = data.find(b"WARC/", i)
+        if start == -1:
+            return
+        head_end = data.find(b"\r\n\r\n", start)
+        if head_end == -1:
+            return
+        header_blob = data[start:head_end].decode("utf-8", errors="replace")
+        lines = header_blob.split("\r\n")[1:]  # drop the version line
+        headers: dict[str, str] = {}
+        for line in lines:
+            k, sep, v = line.partition(":")
+            if sep:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            i = head_end + 4
+            continue
+        body_start = head_end + 4
+        payload = data[body_start : body_start + length]
+        yield WarcRecord(headers=headers, payload=payload)
+        i = body_start + length
+
+
+def http_body(payload: bytes) -> bytes:
+    """Strip the HTTP response envelope from a response record's payload
+    (CC stores the raw HTTP message).  Payloads that don't look like HTTP
+    are returned unchanged (``resource`` records store the body directly)."""
+    if not payload.startswith(b"HTTP/"):
+        return payload
+    sep = payload.find(b"\r\n\r\n")
+    if sep == -1:
+        return payload
+    return payload[sep + 4 :]
+
+
+def extract_pages(data: bytes, gzipped: bool = False):
+    """Yield (url, warc_ts, html_bytes) for every response/resource record
+    with a target URI."""
+    if gzipped:
+        data = gunzip_members(data)
+    for rec in iter_warc_records(data):
+        if rec.record_type not in ("response", "resource"):
+            continue
+        url = rec.target_uri
+        if not url:
+            continue
+        ts = rec.date
+        yield url, (ts.replace(tzinfo=None) if ts else None), http_body(rec.payload)
+
+
+def build_warc(records) -> bytes:
+    """Serialize (url, ts, html_bytes) triples as WARC response records —
+    the test-fixture writer (and the documented round-trip of the reader)."""
+    out = bytearray()
+    for url, ts, html in records:
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+        headers = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+            f"Content-Length: {len(http)}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            "\r\n"
+        ).encode()
+        out += headers + http + b"\r\n\r\n"
+    return bytes(out)

@@ -49,6 +49,9 @@ CODE_VERSION = "extractor-spark-0.1"
 class PipelineConfig:
     pages_path: str
     output_path: str
+    # "parquet" (default), "iceberg" (catalog table id), or "warc"
+    # (directory of .warc/.warc.gz crawl archives, parsed distributed)
+    pages_format: str = "parquet"
     manifest_path: str | None = None  # default: <output>/_manifest
     schema: dict | None = None  # extraction schema; None = convert-only
     html_options: HtmlExtractionOptions = field(default_factory=HtmlExtractionOptions)
@@ -174,6 +177,16 @@ def warmup(spark: SparkSession, pages_path: str, n_rows: int = 512) -> None:
     ).parquet(os.path.join(scratch, "out"))
 
 
+def _read_pages(spark: SparkSession, conf: PipelineConfig) -> DataFrame:
+    if conf.pages_format == "warc":
+        from extractor_spark.spark.sources import read_warc_pages
+
+        return read_warc_pages(spark, conf.pages_path)
+    from extractor_spark.spark.sources import read_pages
+
+    return read_pages(spark, conf.pages_path, conf.pages_format)
+
+
 def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
     """Execute (or resume) the pipeline; returns a run summary dict.
 
@@ -187,7 +200,7 @@ def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
     manifest_path = conf.resolved_manifest_path()
     run_id = uuid.uuid4().hex[:12]
 
-    pages_all = with_bucket(spark.read.parquet(conf.pages_path), conf.n_buckets)
+    pages_all = with_bucket(_read_pages(spark, conf), conf.n_buckets)
 
     skipped_buckets = 0
     done: list[int] = []

@@ -32,6 +32,48 @@ def read_pages(spark: SparkSession, location: str, fmt: str = "parquet") -> Data
     return spark.read.parquet(location)
 
 
+def read_warc_pages(spark: SparkSession, location: str) -> DataFrame:
+    """Read WARC crawl archives into the ``pages`` schema.
+
+    Scale shape: ``binaryFile`` lists the archive files and each task parses
+    whole files (the Common-Crawl unit of parallelism — ~1 GB per .warc.gz;
+    a 100 TB crawl is ~100k files, far more than executor slots).  Per-record
+    gzip members are handled by the engine parser; text/lang are left null
+    (the convert stage recomputes them).
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("html", T.BinaryType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+
+    def parse_files(batches):
+        import pandas as pd
+
+        from extractor_spark.engine.warc import extract_pages
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                gz = str(path).endswith(".gz")
+                for url, ts, html in extract_pages(bytes(content), gzipped=gz):
+                    rows.append(
+                        {"url": url, "warc_ts": ts, "html": html, "text": None, "lang": None}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    files = spark.read.format("binaryFile").load(location).select("path", "content")
+    return files.mapInPandas(parse_files, schema=schema)
+
+
 def write_output(
     df: DataFrame,
     location: str,

@@ -30,6 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pages", required=True, help="input pages table (parquet dir)")
+    p.add_argument("--pages-format", default="parquet",
+                   choices=["parquet", "iceberg", "warc"],
+                   help="input format; 'warc' ingests .warc/.warc.gz crawl archives")
     p.add_argument("--output", required=True, help="output table path")
     p.add_argument("--manifest", default=None, help="manifest path (default <output>/_manifest)")
     p.add_argument("--schema", default=None, help="extraction schema JSON file; omit for convert-only")
@@ -78,6 +81,7 @@ def main(argv=None) -> int:
 
     conf = PipelineConfig(
         pages_path=args.pages,
+        pages_format=args.pages_format,
         output_path=args.output,
         manifest_path=args.manifest,
         schema=schema,
