@@ -108,6 +108,102 @@ def feature_extract_stage(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(run, schema=out_schema)
 
 
+def pil_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real image resize (requires pillow, absent in this container)."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - no PIL in sandbox
+        raise NotImplementedError(
+            "image resize requires pillow; install it on the cluster image"
+        ) from exc
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).resize((width, height))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: keeps the magic bytes (so MIME sniffing still
+    works downstream) and derives a size-tagged digest body."""
+    digest = hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
+    return payload[:8] + digest
+
+
+def resize_stage(
+    media: DataFrame, width: int, height: int, resizer=fake_resize
+) -> DataFrame:
+    """Arrow-batched image resize: payload → resized payload, meta updated
+    to the new dimensions.  ``resizer`` is pluggable (``pil_resize`` on a
+    cluster image with pillow; the deterministic fake here) — swapping it
+    changes one function, not the dataflow."""
+    out_schema = media.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                resizer(p, width, height) if p is not None else None
+                for p in pdf["payload"].tolist()
+            ]
+            out["meta"] = [
+                (
+                    {**(m if isinstance(m, dict) else {}), "width": width, "height": height}
+                    if p is not None
+                    else m  # nothing was resized — leave meta untouched
+                )
+                for m, p in zip(pdf["meta"].tolist(), pdf["payload"].tolist())
+            ]
+            yield out
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def fake_frame_decoder(payload: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic stand-in for an ffmpeg keyframe sampler: n_frames
+    equal byte slices (a real decoder returns n encoded frames — same list
+    shape)."""
+    if not payload:
+        return []
+    step = max(1, len(payload) // n_frames)
+    return [payload[i * step : (i + 1) * step] for i in range(min(n_frames, len(payload)))]
+
+
+def sample_frames_stage(
+    media: DataFrame, n_frames: int = 4, decoder=fake_frame_decoder
+) -> DataFrame:
+    """Video frame sampling: one input row fans out to ≤ n_frames rows
+    (media_id, frame_idx, frame).  The row explosion, output schema, and
+    Arrow batching are the production dataflow; ``decoder`` is pluggable
+    (ffmpeg/pyav on a real cluster image)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"].tolist(), pdf["payload"].tolist()):
+                if p is None:
+                    continue
+                for i, frame in enumerate(decoder(p, n_frames)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(frame)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def payload_stats(media: DataFrame) -> DataFrame:
     """Byte-level stats JVM-side: length + xxhash (no Python)."""
     return media.select(

@@ -90,4 +90,13 @@ def write_output(
     if fmt == "iceberg":
         df.writeTo(location).partitionedBy(df[partition_col]).createOrReplace()
         return
+    if fmt == "jsonl":
+        # training-data export shape: one JSON object per line (binary
+        # columns are base64'd by the JSON writer; callers usually select
+        # the text/markdown/data columns first)
+        writer = df.write.mode("overwrite")
+        if partition_col and partition_col in df.columns:
+            writer = writer.partitionBy(partition_col)
+        writer.json(location)
+        return
     df.write.mode("overwrite").partitionBy(partition_col).parquet(location)
