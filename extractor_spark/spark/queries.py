@@ -866,7 +866,8 @@ def _lsh_cosine_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = spark.table("embeddings").select("vec_id", "embedding").mapInPandas(
         signatures, schema="vec_id bigint, band_idx int, band_sig bigint, probe int"
-    )
+    ).persist()  # referenced by BOTH sides of the band self-join — one
+    # signature computation, not two (plan-audited: single MapInPandas)
     sigs.createOrReplaceTempView("lsh_sigs")
     return spark.sql(_LSH_PAIRS_VERIFY_SQL)
 
