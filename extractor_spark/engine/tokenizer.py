@@ -91,6 +91,19 @@ def tokenize(data: str, builder) -> None:
         c1 = data[i + 1] if i + 1 < n else ""
         if _starttagopen.match(data, i) and cdata_elem is None:
             # start tag
+            # fast path: attribute-less tag — _tagfind consumes the name and
+            # any trailing whitespace; a '>' right after means the verbose
+            # attr grammar and the attr loop can be skipped entirely
+            # (equivalence gated by test_tokenizer_equiv.py)
+            tm0 = _tagfind.match(data, i + 1)
+            if tm0 is not None and data[tm0.end() : tm0.end() + 1] == ">":
+                tag = tm0.group(1).lower()
+                builder.handle_starttag(tag, [])
+                if tag in _CDATA_ELEMS:
+                    cdata_elem = tag
+                    cdata_close = re.compile(r"</\s*%s\s*>" % tag, re.I)
+                i = tm0.end() + 1
+                continue
             m = _locatestarttagend.match(data, i)
             j = m.end()
             nxt = data[j : j + 1]
