@@ -482,6 +482,19 @@ GROUP BY md5(text)
 HAVING count(*) > 1
 """
 
+# Benchmark decontamination: drop documents whose exact text fingerprint
+# appears in a benchmark set (stand-in here: docs 0-9 play the benchmark).
+# At 100 TB the benchmark fingerprint set is tiny — Catalyst broadcasts the
+# build side, so this is a map-side anti-join, no data shuffle.
+_DECONTAMINATE = """
+SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars_kept
+FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents b
+  WHERE b.doc_id < 10 AND md5(b.text) = md5(d.text)
+)
+"""
+
 # Marker-word language ID heuristic (n-gram-lite; deterministic CASE).
 _LANG_ID = """
 SELECT doc_id,
@@ -1016,6 +1029,7 @@ QUERIES: dict[str, tuple] = {
     "pii_scrub": (_sql(_PII_SPARK), _PII_ORACLE),
     "repetition_scores": (_sql(_REPETITION_SPARK), _REPETITION_ORACLE),
     "exact_dup_groups": (_sql(_EXACT_DUP_GROUPS), _EXACT_DUP_GROUPS),
+    "decontaminate_docs": (_sql(_DECONTAMINATE), _DECONTAMINATE),
     "rolling_fingerprints": (_sql(_ROLLING_FP_SPARK), _ROLLING_FP_ORACLE),
     "dedup_clusters": (_dedup_clusters, _DEDUP_CLUSTERS_ORACLE),
     "quality_scores": (_sql(_QUALITY_SPARK), _QUALITY_ORACLE),

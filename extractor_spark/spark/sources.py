@@ -99,4 +99,7 @@ def write_output(
             writer = writer.partitionBy(partition_col)
         writer.json(location)
         return
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(location)
+    writer = df.write.mode("overwrite")
+    if partition_col and partition_col in df.columns:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(location)
