@@ -342,3 +342,62 @@ def test_pipeline_empty_input_does_not_crash(spark, tmp_path):
     )
     assert summary["docs"] == 0
     assert summary["convert_failures"] == 0
+
+
+def test_crash_between_write_and_manifest_is_idempotent(spark, pages_path, tmp_path):
+    """A crash AFTER a bucket's output lands but BEFORE its manifest row is
+    appended must be repaired by resume without duplicating rows (dynamic
+    partition overwrite rewrites exactly the re-processed buckets)."""
+    out_dir = str(tmp_path / "out")
+    conf = PipelineConfig(pages_path=pages_path, output_path=out_dir, n_buckets=6)
+    summary = run_pipeline(spark, conf)
+    total = spark.read.parquet(out_dir).count()
+    urls = {r["url"] for r in spark.read.parquet(out_dir).select("url").collect()}
+
+    # simulate the crash: drop one bucket's manifest rows (its output stays)
+    manifest = spark.read.parquet(summary["manifest_path"])
+    victim = manifest.select("bucket").first()["bucket"]
+    trimmed = manifest.filter(F.col("bucket") != victim).collect()
+    m2 = str(tmp_path / "m2")
+    spark.createDataFrame(trimmed, schema=manifest.schema).write.parquet(m2)
+
+    conf2 = PipelineConfig(
+        pages_path=pages_path, output_path=out_dir, manifest_path=m2, n_buckets=6
+    )
+    summary2 = run_pipeline(spark, conf2)
+    # only the victim bucket was reprocessed; output identical, no dupes
+    assert summary2["skipped_buckets"] == len({r["bucket"] for r in trimmed})
+    after = spark.read.parquet(out_dir)
+    assert after.count() == total
+    assert {r["url"] for r in after.select("url").collect()} == urls
+    assert after.groupBy("url").count().filter("count > 1").count() == 0
+    # the repaired manifest covers the victim bucket again
+    m_after = spark.read.parquet(m2)
+    assert victim in {r["bucket"] for r in m_after.select("bucket").collect()}
+
+
+def test_defuse_skew_spreads_hot_host(spark):
+    """A zipf-dominant host must not serialize on one partition: salting
+    spreads its pages across many partitions (the north-rule skew defense)."""
+    import pandas as pd
+
+    from extractor_spark.spark.pipeline import defuse_skew
+    from extractor_spark.spark.synth import PAGES_SCHEMA
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        {"url": f"https://hot.example.org/p/{i}", "warc_ts": ts, "html": b"<p>x</p>",
+         "text": None, "lang": None}
+        for i in range(400)
+    ] + [
+        {"url": f"https://cold-{i}.example.org/", "warc_ts": ts, "html": b"<p>y</p>",
+         "text": None, "lang": None}
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=PAGES_SCHEMA)
+    spread = defuse_skew(df, n_salt=16, partitions=16)
+    per_part = spread.filter("url_host = 'hot.example.org'").rdd.glom().map(len).collect()
+    used = sum(1 for n in per_part if n > 0)
+    assert used >= 8, f"hot host landed on only {used} partitions: {per_part}"
+    assert max(per_part) < 400, "hot host serialized on a single partition"
