@@ -482,6 +482,62 @@ GROUP BY md5(text)
 HAVING count(*) > 1
 """
 
+# TF-IDF top terms per document — the classic multi-stage text-relational
+# pipeline: tokenize → per-(doc,term) TF → per-term DF → broadcast the tiny
+# term-DF table back → score → top-3 per doc.  ln() is computed by both
+# engines' libm; the score is rounded once at the output (same policy as
+# cosine) and ties break on the term.
+_TFIDF_SPARK = """
+WITH toks AS (
+  SELECT doc_id, tok AS term
+  FROM documents LATERAL VIEW explode(split(trim(lower(text)), '\\\\s+')) t AS tok
+  WHERE length(tok) >= 3
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS DOUBLE) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tfidf
+FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+toks3 AS (SELECT doc_id, term FROM toks WHERE length(term) >= 3),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks3 GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks3 GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS DOUBLE) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tfidf
+FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+) t WHERE rn <= 3
+"""
+
 # Benchmark decontamination: drop documents whose exact text fingerprint
 # appears in a benchmark set (stand-in here: docs 0-9 play the benchmark).
 # At 100 TB the benchmark fingerprint set is tiny — Catalyst broadcasts the
@@ -1030,6 +1086,7 @@ QUERIES: dict[str, tuple] = {
     "repetition_scores": (_sql(_REPETITION_SPARK), _REPETITION_ORACLE),
     "exact_dup_groups": (_sql(_EXACT_DUP_GROUPS), _EXACT_DUP_GROUPS),
     "decontaminate_docs": (_sql(_DECONTAMINATE), _DECONTAMINATE),
+    "top_tfidf_terms": (_sql(_TFIDF_SPARK), _TFIDF_ORACLE),
     "rolling_fingerprints": (_sql(_ROLLING_FP_SPARK), _ROLLING_FP_ORACLE),
     "dedup_clusters": (_dedup_clusters, _DEDUP_CLUSTERS_ORACLE),
     "quality_scores": (_sql(_QUALITY_SPARK), _QUALITY_ORACLE),

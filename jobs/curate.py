@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Training-data curation CLI: extract-pipeline output -> exact dedup ->
+MinHash near-dup clustering -> quality filter -> JSONL export.
+
+    python jobs/curate.py --input /data/extract_out --output /data/curated \
+        [--min-tokens 10] [--max-dup-permille 300] [--jaccard 0.8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-tokens", type=int, default=10)
+    p.add_argument("--max-dup-permille", type=int, default=300)
+    p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--from-submit", action="store_true")
+    args = p.parse_args(argv if argv is not None else sys.argv[1:])
+
+    if args.from_submit:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.getOrCreate()
+    else:
+        from extractor_spark.spark.session import get_spark
+
+        spark = get_spark("curate", cpus=args.cpus)
+
+    from extractor_spark.spark.curate import curate
+
+    stats = curate(
+        spark,
+        args.input,
+        args.output,
+        min_tokens=args.min_tokens,
+        max_dup_permille=args.max_dup_permille,
+        jaccard_threshold=args.jaccard,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,59 @@
+"""Curation funnel: exact dup removed, near-dup cluster collapses to the
+longest member, short/repetitive docs filtered, JSONL written, stats
+auditable."""
+
+import json
+
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.spark
+
+BASE = ("the quick brown fox jumps over the lazy dog again and again "
+        "while the river runs past the old mill beyond the quiet hills "
+        "under a wide summer sky full of small white clouds drifting slowly")
+
+
+def _docs():
+    near_dup = BASE.replace("summer", "winter")           # jaccard >> 0.8
+    longer_dup = BASE + " with one extra closing phrase"  # longest -> canonical
+    return [
+        {"url": "https://c.test/a", "markdown": BASE, "text": BASE},
+        {"url": "https://c.test/a-copy", "markdown": BASE, "text": BASE},       # exact dup
+        {"url": "https://c.test/a-near", "markdown": near_dup, "text": near_dup},
+        {"url": "https://c.test/a-long", "markdown": longer_dup, "text": longer_dup},
+        {"url": "https://c.test/short", "markdown": "tiny", "text": "tiny doc"},  # < min_tokens
+        {"url": "https://c.test/spam", "markdown": "x", "text": "buy now\n" * 40},  # dup lines
+        {"url": "https://c.test/unique", "markdown": "u",
+         "text": "a completely different document about databases, streams, "
+                 "compilers and the pleasures of writing correct software every day"},
+    ]
+
+
+def test_curate_funnel(spark, tmp_path):
+    from extractor_spark.spark.curate import curate
+
+    inp = str(tmp_path / "extract_out")
+    spark.createDataFrame(pd.DataFrame(_docs())).write.parquet(inp)
+    out = str(tmp_path / "curated")
+
+    stats = curate(spark, inp, out, min_tokens=10, max_dup_permille=300)
+    assert stats["input_docs"] == 7
+    assert stats["after_exact_dedup"] == 6          # a-copy gone
+    assert stats["after_neardup_dedup"] == 4        # {a, a-near, a-long} -> a-long
+    assert stats["after_quality_filter"] == 2       # short + spam gone
+
+    kept = set()
+    for f in (tmp_path / "curated").glob("*.json"):
+        kept |= {json.loads(l)["url"] for l in f.read_text().splitlines()}
+    assert kept == {"https://c.test/a-long", "https://c.test/unique"}
+
+
+def test_curate_cli(spark, tmp_path):
+    import jobs.curate as cli
+
+    inp = str(tmp_path / "extract_out")
+    spark.createDataFrame(pd.DataFrame(_docs())).write.parquet(inp)
+    # reuse the session: get_spark returns the active one
+    rc = cli.main(["--input", inp, "--output", str(tmp_path / "c2"), "--cpus", "4"])
+    assert rc == 0
