@@ -176,6 +176,54 @@ FROM orders o JOIN events e
 GROUP BY o.o_orderkey
 """
 
+# TPC-H Q3-shaped shipping priority: 3-way join + filter + agg + top-k —
+# exercises Catalyst join reordering/broadcast selection on a classic
+# multi-join shape; money on integer cents, date filters pushed down.
+_SHIPPING_PRIORITY_TMPL = """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       {date_us} AS o_date_us,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_cents DESC, o_date_us ASC, l.l_orderkey ASC
+LIMIT 10
+"""
+_SHIPPING_PRIORITY_SPARK = _SHIPPING_PRIORITY_TMPL.format(
+    date_us="unix_micros(CAST(o.o_orderdate AS TIMESTAMP))"
+)
+_SHIPPING_PRIORITY_ORACLE = _SHIPPING_PRIORITY_TMPL.format(
+    date_us="epoch_us(o.o_orderdate)"
+)
+
+# Per-vector symmetric int8 quantization of embeddings (storage/bandwidth
+# path for ANN at scale): scale = max|v| / 127 (scaled to integer
+# micro-units for cross-engine exactness), codes = round(v / scale).
+_QUANTIZE_SPARK = """
+SELECT vec_id,
+       CAST(round(1e6 * aggregate(embedding, 0D,
+              (acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE)))) / 127.0) AS BIGINT) AS scale_micro,
+       transform(embedding,
+         v -> CAST(round(CAST(v AS DOUBLE) * 127.0 /
+                aggregate(embedding, 0D, (acc, v2) -> greatest(acc, abs(CAST(v2 AS DOUBLE))))) AS INT)
+       ) AS codes
+FROM embeddings
+"""
+_QUANTIZE_ORACLE = """
+SELECT vec_id,
+       CAST(round(1e6 * list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)), 'max') / 127.0) AS BIGINT) AS scale_micro,
+       list_transform(CAST(embedding AS DOUBLE[]),
+         v -> CAST(round(v * 127.0 /
+                list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), v2 -> abs(v2)), 'max')) AS INT)
+       ) AS codes
+FROM embeddings
+"""
+
 # Approximate/statistical ops — engine-specific sketch values, rows-only.
 _APPROX_STATS = """
 SELECT event_type,
@@ -1066,6 +1114,8 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     "pricing_summary": (_sql(_PRICING_SUMMARY), _PRICING_SUMMARY),
+    "shipping_priority": (_sql(_SHIPPING_PRIORITY_SPARK), _SHIPPING_PRIORITY_ORACLE),
+    "embedding_quantize": (_sql(_QUANTIZE_SPARK), _QUANTIZE_ORACLE),
     "filter_project": (_sql(_FILTER_PROJECT), _FILTER_PROJECT),
     "dedup_latest_event": (_sql(_DEDUP_LATEST_EVENT_SPARK), _DEDUP_LATEST_EVENT_ORACLE),
     "topk_docs_per_lang": (_sql(_TOPK_DOCS), _TOPK_DOCS),
