@@ -115,6 +115,10 @@ def main() -> None:
         "bpe_token_counts",
         "rolling_fingerprints",
         "ivf_topk",
+        "shipping_priority",
+        "top_tfidf_terms",
+        "pii_scrub",
+        "embedding_quantize",
     ]
     for name in bench_queries:
         fn, _oracle = QUERIES[name]
