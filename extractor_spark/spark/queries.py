@@ -1111,6 +1111,107 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# Vectorized UDAF (pandas GROUPED_AGG): per-language mean embedding.
+# Arrow moves each group's vectors into one numpy stack; the aggregation is
+# a single np.mean.  Oracle: DuckDB per-dimension avg via unnest WITH
+# ORDINALITY (values rounded once at the boundary, like cosine).
+_MEAN_EMB_ORACLE = """
+WITH joined AS (
+  SELECT d.lang, CAST(e.embedding AS DOUBLE[]) AS emb
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+pos AS (
+  SELECT lang, emb, unnest(range(1, len(emb) + 1)) AS i FROM joined
+),
+dims AS (
+  SELECT lang, i, emb[i] AS v FROM pos
+)
+SELECT lang, CAST(i - 1 AS INT) AS dim, CAST(round(avg(v), 6) AS DOUBLE) AS mean_v
+FROM dims GROUP BY lang, i
+"""
+
+
+def _mean_embedding_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    _views(spark, sf_dir)
+
+    # explicit GROUPED_AGG (hint inference can't express Series -> array)
+    @pandas_udf("array<double>", PandasUDFType.GROUPED_AGG)
+    def mean_vec(embs):
+        return np.mean(np.stack(embs.to_numpy()), axis=0).tolist()
+
+    joined = spark.sql(
+        "SELECT d.lang, CAST(e.embedding AS array<double>) AS emb "
+        "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id"
+    )
+    agg = joined.groupBy("lang").agg(mean_vec("emb").alias("mean_emb"))
+    return agg.select(
+        "lang", F.posexplode("mean_emb").alias("dim", "raw")
+    ).select("lang", "dim", F.round("raw", 6).cast("double").alias("mean_v"))
+
+
+# Python UDTF (Spark 4): one markdown document in → one row per section
+# (split at setext/ATX headings).  The table-function surface the checklist
+# calls for; exercised in SQL via LATERAL.
+def _markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    _views(spark, sf_dir)
+
+    @udtf(returnType="section_idx int, heading string, n_section_chars int")
+    class MarkdownSections:
+        def eval(self, text: str):
+            if not text:
+                return
+            import re
+
+            lines = text.split("\n")
+            heading = None
+            buf: list[str] = []
+            idx = 0
+            flushed_any = False
+
+            def flush(idx, heading, buf):
+                body = "\n".join(buf).strip()
+                return (idx, heading, len(body))
+
+            i = 0
+            while i < len(lines):
+                line = lines[i]
+                nxt = lines[i + 1] if i + 1 < len(lines) else ""
+                is_setext = bool(line.strip()) and bool(
+                    re.fullmatch(r"=+|-+", nxt.strip() or "#")
+                )
+                m_atx = re.match(r"#{1,6} (.+)", line)
+                if is_setext or m_atx:
+                    if buf or heading is not None:
+                        yield flush(idx, heading, buf)
+                        idx += 1
+                        flushed_any = True
+                    heading = m_atx.group(1) if m_atx else line.strip()
+                    buf = []
+                    i += 1 if m_atx else 2
+                    continue
+                buf.append(line)
+                i += 1
+            if buf or heading is not None or not flushed_any:
+                yield flush(idx, heading, buf)
+
+    spark.udtf.register("markdown_sections", MarkdownSections)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.section_idx, s.heading, s.n_section_chars
+        FROM documents d, LATERAL markdown_sections(d.text) s
+        WHERE d.doc_id < 20
+        """
+    )
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     "pricing_summary": (_sql(_PRICING_SUMMARY), _PRICING_SUMMARY),
@@ -1152,4 +1253,6 @@ QUERIES: dict[str, tuple] = {
     "lsh_cosine_buckets": (_sql(_LSH_COSINE_BUCKETS), None),
     "lsh_cosine_candidate_pairs": (_lsh_cosine_candidate_pairs, None),
     "ivf_topk": (_ivf_topk, None),
+    "mean_embedding_per_lang": (_mean_embedding_per_lang, _MEAN_EMB_ORACLE),
+    "markdown_sections": (_markdown_sections, None),
 }

@@ -160,3 +160,30 @@ def test_ivf_topk_recall(spark):
     assert len(approx) == 10
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.65, f"IVF recall {recall}"
+
+
+def test_markdown_sections_udtf_semantics(spark):
+    """Python UDTF: markdown with setext + ATX headings fans out to one row
+    per section via LATERAL in SQL."""
+    import pandas as pd
+
+    from extractor_spark.spark.queries import _markdown_sections
+
+    # prime the registration path over the driver table first
+    rows = _markdown_sections(spark, SF_DIR).collect()
+    assert rows and all(r["n_section_chars"] >= 0 for r in rows)
+
+    md = "Intro text.\n\nTitle\n=====\n\nbody one\n\n## Sub\n\nbody two longer"
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [md]})
+    ).createOrReplaceTempView("documents")
+    out = spark.sql(
+        "SELECT s.section_idx, s.heading, s.n_section_chars "
+        "FROM documents d, LATERAL markdown_sections(d.text) s ORDER BY s.section_idx"
+    ).collect()
+    got = [(r["section_idx"], r["heading"], r["n_section_chars"]) for r in out]
+    assert got == [
+        (0, None, len("Intro text.")),
+        (1, "Title", len("body one")),
+        (2, "Sub", len("body two longer")),
+    ]
