@@ -110,7 +110,8 @@ def json_repair(text: str) -> str:
                     out.append(nxt)
                 else:
                     # stray escape — drop the backslash, keep the character
-                    out.append('\\"' if nxt == '"' else nxt)
+                    # ('"' is a valid escape, so it never reaches here)
+                    out.append(nxt)
                 i += 2
                 continue
             if c in _QUOTE_PAIRS.get(quote_char, ()):
@@ -148,10 +149,14 @@ def json_repair(text: str) -> str:
             i += 1
             continue
         if s.startswith("...", i):
-            # ellipsis placeholder inside an array/object — drop it (and a
+            # ellipsis placeholder — in VALUE position ('"a": ...') it
+            # becomes null; in element position it is dropped (plus a
             # following comma when nothing precedes it in the container)
             i += 3
-            if _last_significant() in ("[", "{"):
+            prev = _last_significant()
+            if prev == ":":
+                out.append("null")
+            elif prev in ("[", "{"):
                 while i < n and s[i].isspace():
                     i += 1
                 if i < n and s[i] == ",":

@@ -88,6 +88,11 @@ def iter_warc_records(data: bytes):
         except ValueError:
             i = head_end + 4
             continue
+        if length < 0:
+            # corrupt length must not move the cursor backwards (it would
+            # re-find this record forever); skip past the headers instead
+            i = head_end + 4
+            continue
         body_start = head_end + 4
         payload = data[body_start : body_start + length]
         yield WarcRecord(headers=headers, payload=payload)
@@ -118,7 +123,11 @@ def extract_pages(data: bytes, gzipped: bool = False):
         if not url:
             continue
         ts = rec.date
-        yield url, (ts.replace(tzinfo=None) if ts else None), http_body(rec.payload)
+        if ts is not None and ts.tzinfo is not None:
+            # normalize any offset to UTC before dropping tzinfo (a naive
+            # date stays naive — astimezone would assume local time)
+            ts = ts.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        yield url, ts, http_body(rec.payload)
 
 
 def build_warc(records) -> bytes:

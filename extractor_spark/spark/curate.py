@@ -75,34 +75,13 @@ WHERE CAST(m.n_common AS DOUBLE) / (z1.n + z2.n - m.n_common) >= {threshold}
 
 def _components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Min-label connected components over (u1, u2) pairs; returns
-    (url, cluster_id).  Same Pregel-lite loop as queries._dedup_clusters,
-    keyed by url strings (min() orders lexicographically)."""
-    edges = pairs.selectExpr("u1 AS src", "u2 AS dst").unionAll(
-        pairs.selectExpr("u2 AS src", "u1 AS dst")
+    (url, cluster_id) via the shared Pregel-lite helper (url strings —
+    min() orders lexicographically)."""
+    from extractor_spark.spark.graph import min_label_components
+
+    return min_label_components(
+        docs, pairs.selectExpr("u1 AS src", "u2 AS dst"), "url"
     )
-    edges.persist()
-    labels = docs.select(F.col("url"), F.col("url").alias("label")).localCheckpoint()
-    while True:
-        nbr = (
-            edges.join(labels, edges.src == labels.url)
-            .select(F.col("dst").alias("nurl"), "label")
-            .groupBy("nurl")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr, labels.url == nbr.nurl, "left")
-            .select(
-                labels.url,
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("_changed"),
-            )
-        ).localCheckpoint()
-        n_changed = new_labels.filter(F.col("_changed")).count()
-        labels = new_labels.drop("_changed")
-        if n_changed == 0:
-            break
-    edges.unpersist()
-    return labels.withColumnRenamed("label", "cluster_id")
 
 
 def curate(

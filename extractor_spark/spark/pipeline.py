@@ -138,9 +138,18 @@ def completed_buckets(
     their n_buckets; any mismatch raises."""
     try:
         manifest = spark.read.parquet(manifest_path)
-        rows = manifest.select("bucket", "n_buckets").distinct().collect()
     except Exception:
-        return None
+        return None  # no manifest yet — nothing committed
+    if "n_buckets" not in manifest.columns:
+        # a manifest written before the resume-identity contract: refuse to
+        # guess the modulus (silently reprocessing + appending mixed-schema
+        # rows would be worse) — the operator decides
+        raise ValueError(
+            f"manifest at {manifest_path} predates the n_buckets contract "
+            "(no n_buckets column); start a fresh output/manifest or migrate "
+            "the manifest by adding the n_buckets/run_id/dedup_mode columns."
+        )
+    rows = manifest.select("bucket", "n_buckets").distinct().collect()
     if expected_n_buckets is not None:
         seen = {r["n_buckets"] for r in rows}
         bad = seen - {expected_n_buckets}
@@ -212,8 +221,13 @@ def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
             # evaluated at the scan)
             pages_all = pages_all.filter(~F.col("bucket").isin(done))
     else:
-        # fresh run: drop any stale manifest so totals/resume never mix runs
+        # fresh run: drop stale state so totals/resume never mix runs — the
+        # manifest AND the output (leftover bucket partitions from a prior
+        # larger run would otherwise be re-read by the wave aggregation and
+        # stamped with THIS run's run_id, corrupting per-run totals and
+        # future resumes)
         _delete_path(spark, manifest_path)
+        _delete_path(spark, conf.output_path)
 
     # Default compute parallelism: 4 task waves per core slot for balance
     # under per-document cost variance (page sizes are long-tailed).

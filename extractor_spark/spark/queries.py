@@ -692,40 +692,12 @@ FROM reach GROUP BY doc_id
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    _views(spark, sf_dir)
-    pairs = spark.sql(_JACCARD_SPARK)
-    edges = pairs.selectExpr("d1 AS src", "d2 AS dst").unionAll(
-        pairs.selectExpr("d2 AS src", "d1 AS dst")
-    )
-    edges = edges.repartition(edges.sparkSession.sparkContext.defaultParallelism, "src")
-    edges.persist()
-    labels = spark.table("documents").select(
-        F.col("doc_id"), F.col("doc_id").alias("label")
-    ).localCheckpoint()
+    from extractor_spark.spark.graph import min_label_components
 
-    while True:
-        nbr = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .select(F.col("dst").alias("ndoc"), "label")
-            .groupBy("ndoc")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr, labels.doc_id == nbr.ndoc, "left")
-            .select(
-                labels.doc_id,
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "label"
-                ),
-                (F.col("nbr_label") < F.col("label")).alias("_changed"),
-            )
-        ).localCheckpoint()  # truncate lineage each round
-        n_changed = new_labels.filter(F.col("_changed")).count()
-        labels = new_labels.drop("_changed")
-        if n_changed == 0:
-            break
-    edges.unpersist()
-    return labels.select("doc_id", F.col("label").cast("long").alias("cluster_id"))
+    _views(spark, sf_dir)
+    pairs = spark.sql(_JACCARD_SPARK).selectExpr("d1 AS src", "d2 AS dst")
+    labels = min_label_components(spark.table("documents"), pairs, "doc_id")
+    return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -933,10 +905,21 @@ WHERE aggregate(zip_with(e1.embedding, e2.embedding,
 """
 
 
+_LSH_LIVE_SIGS: list = []  # at most one persisted signature DF per session
+
+
 def _lsh_cosine_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate generation + verify for embedding near-dup pairs (see the
     block comment above for the scale analysis)."""
     _views(spark, sf_dir)
+    # release the previous invocation's cache (the returned DF is lazy, so
+    # unpersisting inside this call would defeat the self-join reuse;
+    # instead each call retires its predecessor)
+    while _LSH_LIVE_SIGS:
+        try:
+            _LSH_LIVE_SIGS.pop().unpersist()
+        except Exception:
+            pass
     n_bands, band_bits = _LSH_N_BANDS, _LSH_BAND_BITS
 
     def signatures(batches):
@@ -985,6 +968,7 @@ def _lsh_cosine_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         signatures, schema="vec_id bigint, band_idx int, band_sig bigint, probe int"
     ).persist()  # referenced by BOTH sides of the band self-join — one
     # signature computation, not two (plan-audited: single MapInPandas)
+    _LSH_LIVE_SIGS.append(sigs)
     sigs.createOrReplaceTempView("lsh_sigs")
     return spark.sql(_LSH_PAIRS_VERIFY_SQL)
 

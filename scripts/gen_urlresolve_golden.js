@@ -18,6 +18,11 @@ const bases = [
   'https://sub.domain.example.co.uk/x/y',
   'http://example.com/%7Euser/dir/',
   'https://example.com/a/b?q=v#f',
+  // dot/empty segments in the BASE (the legacy merge resolves them;
+  // guards the plain-href fast path's base checks)
+  'http://example.com/a/../b/c',
+  'http://example.com/x/./y/',
+  'http://example.com/a//b/',
 ];
 
 const hrefs = [

@@ -67,3 +67,18 @@ def test_spark_warc_to_pipeline(spark, tmp_path):
     assert out["https://w.test/a"]["markdown"] == "Alpha\n=====\n\nbody a"
     assert out["https://w.test/c"]["markdown"] == "café"
     assert all(r["convert_error"] is None for r in out.values())
+
+
+def test_negative_content_length_and_tz_offset():
+    """Review findings: a negative Content-Length must not loop the record
+    generator; offset-bearing WARC-Dates normalize to UTC."""
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://bad.test/x\r\n"
+           b"WARC-Date: 2024-03-01T10:00:00+02:00\r\nContent-Length: -500\r\n\r\n")
+    good = build_warc([("https://ok.test/a", TS, b"<p>fine</p>")])
+    got = list(extract_pages(bad + good + bad))
+    assert [u for u, _, _ in got] == ["https://ok.test/a"]
+
+    offset = (b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://tz.test/x\r\n"
+              b"WARC-Date: 2024-03-01T10:00:00+02:00\r\nContent-Length: 4\r\n\r\nbody")
+    (_, ts, _), = extract_pages(offset)
+    assert ts == datetime.datetime(2024, 3, 1, 8, 0)
