@@ -1003,7 +1003,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 # recall-gated in pytest against the oracled exact twin (embedding_topk).
 _IVF_SEED = 0x1FF2024
 _IVF_K = 16
-_IVF_NPROBE = 6
+_IVF_NPROBE = 8
 _IVF_ITERS = 5
 
 

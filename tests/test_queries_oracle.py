@@ -149,11 +149,11 @@ def test_approx_stats_within_tolerance(spark):
 
 
 def test_ivf_topk_recall(spark):
-    """IVF (k-means coarse quantizer, nprobe=6/16) vs the oracled exact
+    """IVF (k-means coarse quantizer, nprobe=8/16) vs the oracled exact
     top-10.  The synthetic embeddings are isotropic gaussians — the hardest
     case for IVF since true neighbours sit at cosine ~0.3 (nearly
     orthogonal), so cell locality carries little signal; measured recall is
-    0.7 here and would be far higher on real (clustered) embeddings.
+    0.8 here and would be far higher on real (clustered) embeddings.
     Deterministic: centroids are seeded and Lloyd iterations are exact."""
     exact = {r["vec_id"] for r in ALL_QUERIES["embedding_topk"](spark, SF_DIR).collect()}
     approx = {r["vec_id"] for r in ALL_QUERIES["ivf_topk"](spark, SF_DIR).collect()}
