@@ -166,7 +166,9 @@ def json_repair(text: str) -> str:
             m = _NUMBER_RE.match(s, i)
             if m:
                 prev = _last_significant()
-                if prev in ('"', "}", "]") or prev.isdigit():
+                # numeric tokens are appended whole ('1.5', '-3e2') — test
+                # the LAST char so floats/exponents count as numbers too
+                if prev in ('"', "}", "]") or (prev and prev[-1].isdigit()):
                     out.append(",")  # missing comma before a number
                 out.append(_normalize_number(m.group(0)))
                 i = m.end()
@@ -177,7 +179,7 @@ def json_repair(text: str) -> str:
             continue
         if c in "{[":
             prev = _last_significant()
-            if prev in ('"', "}", "]") or (prev.isdigit() if prev else False):
+            if prev in ('"', "}", "]") or (prev and prev[-1].isdigit()):
                 out.append(",")
             stack.append("}" if c == "{" else "]")
             out.append(c)

@@ -49,13 +49,18 @@ class WarcRecord:
 
 
 def gunzip_members(data: bytes) -> bytes:
-    """Decompress ALL concatenated gzip members (CC writes one per record)."""
+    """Decompress ALL concatenated gzip members (CC writes one per record).
+    Corrupt members end the walk with whatever decompressed cleanly — one
+    bad CRC must not fail a whole archive/task (tolerance contract)."""
     out = bytearray()
     rest = data
     while rest:
         d = zlib.decompressobj(31)
-        out += d.decompress(rest)
-        out += d.flush()
+        try:
+            out += d.decompress(rest)
+            out += d.flush()
+        except zlib.error:
+            break
         if not d.unused_data or d.unused_data == rest:
             break
         rest = d.unused_data

@@ -123,7 +123,7 @@ def curate(
         .withColumn("_rk", F.row_number().over(wc))
         .filter("_rk = 1")
         .drop("_rk", "cluster_id")
-    )
+    ).localCheckpoint()  # consumed by two counts AND the export write
     stats["after_neardup_dedup"] = docs.count()
 
     # 3. quality filter: token floor + duplicate-line ceiling

@@ -58,7 +58,10 @@ def read_warc_pages(spark: SparkSession, location: str) -> DataFrame:
 
         from extractor_spark.engine.warc import extract_pages
 
-        for pdf in batches:
+        CHUNK = 2000  # bound per-yield memory: a ~1 GB archive holds ~50k
+        # pages; never hold a whole file's rows (let alone a whole batch's)
+
+        def frames(pdf):
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 gz = str(path).endswith(".gz")
@@ -66,9 +69,20 @@ def read_warc_pages(spark: SparkSession, location: str) -> DataFrame:
                     rows.append(
                         {"url": url, "warc_ts": ts, "html": html, "text": None, "lang": None}
                     )
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"]
-            )
+                    if len(rows) >= CHUNK:
+                        yield rows
+                        rows = []
+            if rows:
+                yield rows
+
+        cols = ["url", "warc_ts", "html", "text", "lang"]
+        for pdf in batches:
+            empty = True
+            for rows in frames(pdf):
+                empty = False
+                yield pd.DataFrame(rows, columns=cols)
+            if empty:
+                yield pd.DataFrame([], columns=cols)
 
     files = spark.read.format("binaryFile").load(location).select("path", "content")
     return files.mapInPandas(parse_files, schema=schema)

@@ -69,6 +69,8 @@ def main(argv=None) -> int:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.builder.getOrCreate()
+        # naive-UTC timestamps (e.g. WARC dates) must not be re-localized
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     else:
         from extractor_spark.spark.session import get_spark
 
