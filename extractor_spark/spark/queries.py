@@ -314,6 +314,18 @@ FROM numbered
 GROUP BY user_id, session_id
 """
 
+# The same sessionization via Spark's NATIVE session_window aggregate (no
+# DuckDB analog — rows-only; pytest asserts row-set equality with the
+# oracled lag+cumsum composition above, minus its synthetic session_id).
+_SESSIONS_NATIVE = """
+SELECT user_id,
+       unix_micros(session_window.start) AS session_start_us,
+       unix_micros(CAST(max(ts) AS TIMESTAMP)) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+GROUP BY user_id, session_window(ts, '30 minutes')
+"""
+
 # Hourly event-stream rollup (the batch shape of the streaming agg).
 _EVENTS_HOURLY_SPARK = """
 SELECT unix_micros(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS hour_us, event_type,
@@ -1215,6 +1227,7 @@ QUERIES: dict[str, tuple] = {
     "running_value_per_user": (_sql(_RUNNING_VALUE), _RUNNING_VALUE),
     "events_hourly": (_sql(_EVENTS_HOURLY_SPARK), _EVENTS_HOURLY_ORACLE),
     "user_sessions": (_sql(_SESSIONS_SPARK), _SESSIONS_ORACLE),
+    "user_sessions_native": (_sql(_SESSIONS_NATIVE), None),
     "token_counts": (_sql(_TOKEN_COUNTS_SPARK), _TOKEN_COUNTS_ORACLE),
     "bpe_token_counts": (_sql(_BPE_TOKENS_SPARK), _BPE_TOKENS_ORACLE),
     "pii_scrub": (_sql(_PII_SPARK), _PII_ORACLE),

@@ -187,3 +187,18 @@ def test_markdown_sections_udtf_semantics(spark):
         (1, "Title", len("body one")),
         (2, "Sub", len("body two longer")),
     ]
+
+
+def test_native_session_window_matches_composition(spark):
+    """Spark's built-in session_window aggregate must produce the same
+    sessions as the oracled lag+cumsum composition (30-minute gap, strict
+    '>' boundary on both sides for this data)."""
+    composed = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in ALL_QUERIES["user_sessions"](spark, SF_DIR).collect()
+    }
+    native = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in ALL_QUERIES["user_sessions_native"](spark, SF_DIR).collect()
+    }
+    assert composed == native and len(native) > 0
