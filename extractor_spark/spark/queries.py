@@ -234,6 +234,24 @@ FROM events
 GROUP BY event_type
 """
 
+# Exact statistics — the oracle-checked twin of approx_stats: exact
+# distinct count and exact interpolated quantiles (Spark percentile ==
+# DuckDB quantile_cont; rounded once at the boundary).
+_EXACT_STATS_TMPL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(round({p50}, 6) AS DOUBLE) AS p50_value,
+       CAST(round({p99}, 6) AS DOUBLE) AS p99_value
+FROM events
+GROUP BY event_type
+"""
+_EXACT_STATS_SPARK = _EXACT_STATS_TMPL.format(
+    p50="percentile(value, 0.5)", p99="percentile(value, 0.99)"
+)
+_EXACT_STATS_ORACLE = _EXACT_STATS_TMPL.format(
+    p50="quantile_cont(value, 0.5)", p99="quantile_cont(value, 0.99)"
+)
+
 # Set ops: users active in the first half-year but not the second.
 _SET_OPS = """
 SELECT user_id FROM events WHERE ts <  TIMESTAMP '2024-07-01 00:00:00'
@@ -1244,6 +1262,7 @@ QUERIES: dict[str, tuple] = {
     "embedding_cosine_dups": (_sql(_EMB_COSINE_DUPS_SPARK), _EMB_COSINE_DUPS_ORACLE),
     # scale-path approximations — rows-only checks
     "approx_stats": (_sql(_APPROX_STATS), None),
+    "exact_stats": (_sql(_EXACT_STATS_SPARK), _EXACT_STATS_ORACLE),
     "minhash_lsh_candidates": (_sql(_MINHASH_CANDIDATES), None),
     "simhash_fingerprints": (_sql(_SIMHASH), None),
     "simhash_candidate_pairs": (_sql(_SIMHASH_PAIRS), None),
