@@ -203,25 +203,41 @@ _SHIPPING_PRIORITY_ORACLE = _SHIPPING_PRIORITY_TMPL.format(
 
 # Per-vector symmetric int8 quantization of embeddings (storage/bandwidth
 # path for ANN at scale): scale = max|v| / 127 (scaled to integer
-# micro-units for cross-engine exactness), codes = round(v / scale).
+# micro-units for cross-engine exactness), code[pos] = round(v / scale).
+# Output is posexploded to scalar (vec_id, scale_micro, pos, code) rows so
+# the driver's pandas canonicalizer can hash-sort it (array columns are
+# unhashable there).  greatest(maxabs, 1e-30) guards the all-zero vector:
+# codes become 0 instead of round(0/0) = NaN (which Spark 4 ANSI mode
+# refuses to CAST to INT).
 _QUANTIZE_SPARK = """
 SELECT vec_id,
-       CAST(round(1e6 * aggregate(embedding, 0D,
-              (acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE)))) / 127.0) AS BIGINT) AS scale_micro,
-       transform(embedding,
-         v -> CAST(round(CAST(v AS DOUBLE) * 127.0 /
-                aggregate(embedding, 0D, (acc, v2) -> greatest(acc, abs(CAST(v2 AS DOUBLE))))) AS INT)
-       ) AS codes
-FROM embeddings
+       CAST(round(1e6 * maxabs / 127.0) AS BIGINT) AS scale_micro,
+       pos, code
+FROM (
+  SELECT vec_id, embedding,
+         aggregate(embedding, 0D, (acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE)))) AS maxabs
+  FROM embeddings
+) t
+LATERAL VIEW posexplode(transform(embedding,
+    v -> CAST(round(CAST(v AS DOUBLE) * 127.0 / greatest(maxabs, 1e-30)) AS INT))) q AS pos, code
 """
 _QUANTIZE_ORACLE = """
-SELECT vec_id,
-       CAST(round(1e6 * list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)), 'max') / 127.0) AS BIGINT) AS scale_micro,
-       list_transform(CAST(embedding AS DOUBLE[]),
-         v -> CAST(round(v * 127.0 /
-                list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), v2 -> abs(v2)), 'max')) AS INT)
-       ) AS codes
-FROM embeddings
+WITH t AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS emb,
+         list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v)), 'max') AS maxabs
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id,
+         CAST(round(1e6 * maxabs / 127.0) AS BIGINT) AS scale_micro,
+         list_transform(emb, v -> CAST(round(v * 127.0 / greatest(maxabs, 1e-30)) AS INT)) AS cl
+  FROM t
+),
+pos AS (
+  SELECT vec_id, scale_micro, cl, unnest(range(1, len(cl) + 1)) AS i FROM codes
+)
+SELECT vec_id, scale_micro, CAST(i - 1 AS INT) AS pos, cl[i] AS code FROM pos
 """
 
 # Approximate/statistical ops — engine-specific sketch values, rows-only.

@@ -202,3 +202,29 @@ def test_native_session_window_matches_composition(spark):
         for r in ALL_QUERIES["user_sessions_native"](spark, SF_DIR).collect()
     }
     assert composed == native and len(native) > 0
+
+
+def test_quantize_all_zero_vector_guard(spark):
+    """ADVICE r2: an all-zero embedding must quantize to codes=0 /
+    scale_micro=0 in BOTH engines instead of round(0/0)=NaN (which Spark 4
+    ANSI mode refuses to CAST to INT)."""
+    from extractor_spark.spark.queries import _QUANTIZE_ORACLE, _QUANTIZE_SPARK
+
+    spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [0.5, -1.0, 0.25])],
+        "vec_id bigint, embedding array<double>",
+    ).createOrReplaceTempView("embeddings")
+    srows = [tuple(r) for r in spark.sql(_QUANTIZE_SPARK).collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        "(0::BIGINT, [0.0, 0.0, 0.0]::DOUBLE[]), "
+        "(1::BIGINT, [0.5, -1.0, 0.25]::DOUBLE[])) t(vec_id, embedding)"
+    )
+    drows = con.execute(_QUANTIZE_ORACLE).fetchall()
+
+    assert _rowset(srows) == _rowset(drows)
+    zero = [r for r in srows if r[0] == 0]
+    assert len(zero) == 3
+    assert all(r[1] == 0 and r[3] == 0 for r in zero)  # scale_micro, code
