@@ -120,6 +120,8 @@ def main() -> None:
         "pii_scrub",
         "embedding_quantize",
     ]
+    from extractor_spark.spark.queries import release_query_caches
+
     for name in bench_queries:
         fn, _oracle = QUERIES[name]
         t0 = time.time()
@@ -127,6 +129,20 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         extras.setdefault("query_rows", {})[name] = n
+        # release persisted intermediates (LSH sigs, CC checkpoints) so no
+        # query's cache pins memory while the next one is timed
+        release_query_caches()
+
+    # curation funnel at bench scale, fed by the extract pipeline's own
+    # output (exact dedup -> MinHash clusters -> quality filter -> JSONL)
+    t0 = time.time()
+    from extractor_spark.spark.curate import curate
+
+    curate_stats = curate(spark, out_path, os.path.join(workdir, "curated"))
+    timings["curate_funnel"] = round(time.time() - t0, 3)
+    extras["curate_stages"] = {
+        k: v for k, v in curate_stats.items() if k != "output_path"
+    }
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import caches
+
 _MINHASH_PAIRS_TMPL = """
 WITH toks AS (
   SELECT url, split(trim(text), '\\\\s+') AS w FROM {view}
@@ -100,13 +102,18 @@ def curate(
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
     )
     stats = {"input_docs": docs.count()}
+    sc = spark.sparkContext
+    cache_mark = len(caches.LIVE)  # don't touch unrelated queries' caches
+    ckpt_handles: list = []
 
     # 1. exact dedup (keep min url per fingerprint)
     w = Window.partitionBy(F.md5("text")).orderBy("url")
     docs = (
         docs.withColumn("_rk", F.row_number().over(w)).filter("_rk = 1").drop("_rk")
     )
+    before = caches.persistent_ids(sc)
     docs = docs.localCheckpoint()  # reused by pairs + components + filter
+    ckpt_handles += caches.checkpoint_handles_since(sc, before)
     stats["after_exact_dedup"] = docs.count()
 
     # 2. near-dup clusters → canonical per cluster (longest text, then url)
@@ -118,13 +125,18 @@ def curate(
     wc = Window.partitionBy("cluster_id").orderBy(
         F.length("text").desc(), F.col("url").asc()
     )
+    before = caches.persistent_ids(sc)
     docs = (
         docs.join(labels, "url")
         .withColumn("_rk", F.row_number().over(wc))
         .filter("_rk = 1")
         .drop("_rk", "cluster_id")
     ).localCheckpoint()  # consumed by two counts AND the export write
+    ckpt_handles += caches.checkpoint_handles_since(sc, before)
     stats["after_neardup_dedup"] = docs.count()
+    # labels' checkpoint (registered by min_label_components) has no
+    # dependents once docs is materialized — release it now
+    caches.retire_since(cache_mark)
 
     # 3. quality filter: token floor + duplicate-line ceiling
     toks = F.size(F.split(F.trim("text"), r"\s+"))
@@ -147,4 +159,8 @@ def curate(
 
     write_output(docs, output_path, fmt="jsonl", partition_col=None)
     stats["output_path"] = output_path
+    # the export was the last consumer — release this run's checkpoints
+    # (curate owns them end-to-end, unlike lazy-returning queries)
+    for h in ckpt_handles:
+        h.unpersist()
     return stats

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import caches
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -951,7 +953,16 @@ WHERE aggregate(zip_with(e1.embedding, e2.embedding,
 """
 
 
-_LSH_LIVE_SIGS: list = []  # at most one persisted signature DF per session
+def release_query_caches() -> None:
+    """Retire persisted intermediates left behind by lazy-returning queries
+    (LSH signature cache, connected-components label checkpoints).  Caller
+    contract: queries that return a DataFrame backed by a persisted
+    intermediate cannot unpersist it themselves (the result is lazy) —
+    consumers call this after collecting.  Each producer also retires its
+    predecessor's cache on re-invocation, so the live set stays bounded;
+    tests and bench.py call this at teardown and assert nothing stays
+    pinned in executor memory."""
+    caches.retire_all()
 
 
 def _lsh_cosine_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -961,11 +972,7 @@ def _lsh_cosine_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # release the previous invocation's cache (the returned DF is lazy, so
     # unpersisting inside this call would defeat the self-join reuse;
     # instead each call retires its predecessor)
-    while _LSH_LIVE_SIGS:
-        try:
-            _LSH_LIVE_SIGS.pop().unpersist()
-        except Exception:
-            pass
+    release_query_caches()
     n_bands, band_bits = _LSH_N_BANDS, _LSH_BAND_BITS
 
     def signatures(batches):
@@ -1014,7 +1021,7 @@ def _lsh_cosine_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         signatures, schema="vec_id bigint, band_idx int, band_sig bigint, probe int"
     ).persist()  # referenced by BOTH sides of the band self-join — one
     # signature computation, not two (plan-audited: single MapInPandas)
-    _LSH_LIVE_SIGS.append(sigs)
+    caches.register(sigs)
     sigs.createOrReplaceTempView("lsh_sigs")
     return spark.sql(_LSH_PAIRS_VERIFY_SQL)
 
@@ -1051,46 +1058,65 @@ _IVF_SEED = 0x1FF2024
 _IVF_K = 16
 _IVF_NPROBE = 8
 _IVF_ITERS = 5
+# Lloyd training runs on a seeded sample of the corpus (k-means centroids
+# stabilize long before the sample does — at 100 TB you'd also cap the
+# absolute sample count, e.g. 256×k vectors, and ship it to one executor).
+# 0.7 here keeps the tiny test corpus's recall gate meaningful (measured
+# recall 0.9 on the isotropic worst-case embeddings, seeded/deterministic).
+_IVF_TRAIN_FRACTION = 0.7
 
 
 def _ivf_centroids(spark: SparkSession) -> "object":
     import numpy as np
 
-    emb = spark.table("embeddings").select("vec_id", "embedding")
-    dim = len(emb.first()["embedding"])
-    rng = np.random.default_rng(_IVF_SEED)
-    centroids = rng.standard_normal((_IVF_K, dim))
-    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
-
-    schema = "cell int, cnt long, vsum array<double>"
-    for _ in range(_IVF_ITERS):
-        c = centroids  # capture per-iteration value
-
-        def partial_sums(batches, c=c):
-            import numpy as np
-            import pandas as pd
-
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-                xn = x / np.linalg.norm(x, axis=1, keepdims=True)
-                cell = (xn @ c.T).argmax(axis=1)
-                rows = []
-                for g in np.unique(cell):
-                    grp = x[cell == g]
-                    rows.append((int(g), len(grp), grp.sum(axis=0).tolist()))
-                yield pd.DataFrame(rows, columns=["cell", "cnt", "vsum"])
-
-        parts = emb.mapInPandas(partial_sums, schema=schema).collect()
-        sums = np.zeros_like(centroids)
-        counts = np.zeros(_IVF_K)
-        for r in parts:
-            sums[r["cell"]] += np.asarray(r["vsum"])
-            counts[r["cell"]] += r["cnt"]
-        nonempty = counts > 0
-        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+    # Train on a persisted seeded sample: ONE full-table scan materializes
+    # the training set, the _IVF_ITERS Lloyd iterations then hit the cache.
+    # Before round 3 this loop re-read the parquet every iteration (6 scans
+    # incl. the dim probe) — at 100 TB that is 6 full-corpus passes for a
+    # k×d-sized result.
+    train = (
+        spark.table("embeddings")
+        .select("embedding")
+        .sample(fraction=_IVF_TRAIN_FRACTION, seed=_IVF_SEED)
+        .persist()
+    )
+    try:
+        dim = len(train.first()["embedding"])
+        rng = np.random.default_rng(_IVF_SEED)
+        centroids = rng.standard_normal((_IVF_K, dim))
         centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+
+        schema = "cell int, cnt long, vsum array<double>"
+        for _ in range(_IVF_ITERS):
+            c = centroids  # capture per-iteration value
+
+            def partial_sums(batches, c=c):
+                import numpy as np
+                import pandas as pd
+
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+                    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+                    cell = (xn @ c.T).argmax(axis=1)
+                    rows = []
+                    for g in np.unique(cell):
+                        grp = x[cell == g]
+                        rows.append((int(g), len(grp), grp.sum(axis=0).tolist()))
+                    yield pd.DataFrame(rows, columns=["cell", "cnt", "vsum"])
+
+            parts = train.mapInPandas(partial_sums, schema=schema).collect()
+            sums = np.zeros_like(centroids)
+            counts = np.zeros(_IVF_K)
+            for r in parts:
+                sums[r["cell"]] += np.asarray(r["vsum"])
+                counts[r["cell"]] += r["cnt"]
+            nonempty = counts > 0
+            centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+            centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    finally:
+        train.unpersist()
     return centroids
 
 

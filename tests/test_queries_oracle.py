@@ -153,13 +153,14 @@ def test_ivf_topk_recall(spark):
     top-10.  The synthetic embeddings are isotropic gaussians — the hardest
     case for IVF since true neighbours sit at cosine ~0.3 (nearly
     orthogonal), so cell locality carries little signal; measured recall is
-    0.8 here and would be far higher on real (clustered) embeddings.
-    Deterministic: centroids are seeded and Lloyd iterations are exact."""
+    0.9 here (sample-trained, fraction 0.7) and would be far higher on real
+    (clustered) embeddings.  Deterministic: the training sample, centroids,
+    and Lloyd iterations are all seeded/exact."""
     exact = {r["vec_id"] for r in ALL_QUERIES["embedding_topk"](spark, SF_DIR).collect()}
     approx = {r["vec_id"] for r in ALL_QUERIES["ivf_topk"](spark, SF_DIR).collect()}
     assert len(approx) == 10
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.65, f"IVF recall {recall}"
+    assert recall >= 0.75, f"IVF recall {recall}"
 
 
 def test_markdown_sections_udtf_semantics(spark):
