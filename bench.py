@@ -111,6 +111,7 @@ def main() -> None:
         # round-2 additions
         "simhash_candidate_pairs",
         "lsh_cosine_candidate_pairs",
+        "lsh_cosine_pairs_strong",
         "dedup_clusters",
         "bpe_token_counts",
         "rolling_fingerprints",

@@ -919,37 +919,45 @@ FROM sigs GROUP BY lsh_bucket
 # is probabilistic.  Shuffle is B(1+b) small rows/vector; candidate volume
 # per band is sum(bucket²)/2 — sub-quadratic whenever signatures spread.
 #
-# Parameter note: the oracle twin uses threshold 0.45, which for hyperplane
-# LSH is a WEAK similarity (bit-agreement p = 1 - arccos(0.45)/π ≈ 0.65), so
-# the defaults below are OR-heavy (24 bands × 8 bits + multi-probe) to hold
-# recall ≥ 0.9 in that regime; production near-dup dedup (cos ≥ 0.8, p ≈
-# 0.80) gets sub-quadratic candidate volume from the same operator with
-# fewer/wider bands (e.g. 8 × 16 bits, no probe).
+# Parameter note (recall = 1-(1-p^r)^b for b bands of r bits, bit-agreement
+# p = 1 - arccos(cos_sim)/π): the oracle twin uses threshold 0.45, a WEAK
+# similarity (p ≈ 0.65), so the default regime is OR-heavy — 24 bands × 8
+# bits + Hamming-1 multi-probe — to hold recall ≥ 0.9 there.  The
+# production near-dup regime (cos ≥ 0.8, p ≈ 0.795) keeps recall ≥ 0.95
+# with 64 bands × 16 bits and NO probe (p^16 ≈ 0.026 at the 0.8 boundary,
+# ≈ 0.08 at 0.9), while 16-bit signatures shrink chance collisions to
+# 2^-16/band — sub-second candidate generation at sf0.1 and sub-quadratic
+# volume as n grows.  At 10^9+ vectors, widen bands further (24-32 bits)
+# and add more bands or probing to keep per-bucket sizes O(1).
 _LSH_SEED = 0x5EED2024
 _LSH_N_BANDS = 24
 _LSH_BAND_BITS = 8
 _LSH_VERIFY_THRESHOLD = 0.45
+# production / strong-similarity regime
+_LSH_STRONG_N_BANDS = 64
+_LSH_STRONG_BAND_BITS = 16
+_LSH_STRONG_THRESHOLD = 0.8
 
-_LSH_PAIRS_VERIFY_SQL = f"""
+_LSH_PAIRS_VERIFY_TMPL = """
 WITH base AS (
-  SELECT vec_id, band_idx, band_sig FROM lsh_sigs WHERE probe = 0
+  SELECT vec_id, band_idx, band_sig FROM {sig_view} WHERE probe = 0
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-  FROM base a JOIN lsh_sigs b
+  FROM base a JOIN {sig_view} b
     ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
    AND a.vec_id < b.vec_id
 )
 SELECT c.v1, c.v2
 FROM cand c
-JOIN embeddings e1 ON c.v1 = e1.vec_id
-JOIN embeddings e2 ON c.v2 = e2.vec_id
+JOIN {view} e1 ON c.v1 = e1.vec_id
+JOIN {view} e2 ON c.v2 = e2.vec_id
 WHERE aggregate(zip_with(e1.embedding, e2.embedding,
                          (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
                 0D, (acc, v) -> acc + v)
       / (sqrt(aggregate(e1.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
          * sqrt(aggregate(e2.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-      >= {_LSH_VERIFY_THRESHOLD}
+      >= {threshold}
 """
 
 
@@ -965,15 +973,26 @@ def release_query_caches() -> None:
     caches.retire_all()
 
 
-def _lsh_cosine_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate generation + verify for embedding near-dup pairs (see the
-    block comment above for the scale analysis)."""
-    _views(spark, sf_dir)
+def hyperplane_lsh_pairs(
+    spark: SparkSession,
+    *,
+    view: str = "embeddings",
+    n_bands: int,
+    band_bits: int,
+    probe: bool,
+    threshold: float,
+    sig_view: str = "lsh_sigs",
+    seed: int = _LSH_SEED,
+) -> DataFrame:
+    """Parameterized hyperplane-LSH candidate generation + exact verify
+    over ``view`` (vec_id, embedding).  See the block comment above for the
+    (n_bands, band_bits, probe, threshold) recall trade; ``probe`` adds
+    Hamming-1 multi-probe rows (band_bits extra rows per band per vector)
+    for weak-similarity regimes."""
     # release the previous invocation's cache (the returned DF is lazy, so
     # unpersisting inside this call would defeat the self-join reuse;
     # instead each call retires its predecessor)
     release_query_caches()
-    n_bands, band_bits = _LSH_N_BANDS, _LSH_BAND_BITS
 
     def signatures(batches):
         import numpy as np
@@ -987,7 +1006,7 @@ def _lsh_cosine_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             if planes is None:
                 # deterministic planes: every task derives the same matrix
-                planes = np.random.default_rng(_LSH_SEED).standard_normal(
+                planes = np.random.default_rng(seed).standard_normal(
                     (n_bands * band_bits, X.shape[1])
                 )
             bits = (X @ planes.T) > 0.0
@@ -997,33 +1016,71 @@ def _lsh_cosine_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             base_vid = np.repeat(vec_ids, n_bands)
             base_band = np.tile(np.arange(n_bands, dtype=np.int32), n)
             base_sig = sigs.reshape(-1)
-            # Hamming-1 multi-probe: one flipped-bit signature per bit
-            probe_sig = (base_sig[:, None] ^ weights[None, :]).reshape(-1)
+            if probe:
+                # Hamming-1 multi-probe: one flipped-bit signature per bit
+                probe_sig = (base_sig[:, None] ^ weights[None, :]).reshape(-1)
+                vid = np.concatenate([base_vid, np.repeat(base_vid, band_bits)])
+                band = np.concatenate([base_band, np.repeat(base_band, band_bits)])
+                sig = np.concatenate([base_sig, probe_sig])
+                pr = np.concatenate(
+                    [
+                        np.zeros(n * n_bands, dtype=np.int32),
+                        np.ones(n * n_bands * band_bits, dtype=np.int32),
+                    ]
+                )
+            else:
+                vid, band, sig = base_vid, base_band, base_sig
+                pr = np.zeros(n * n_bands, dtype=np.int32)
             yield pd.DataFrame(
                 {
-                    "vec_id": np.concatenate(
-                        [base_vid, np.repeat(base_vid, band_bits)]
-                    ).astype(np.int64),
-                    "band_idx": np.concatenate(
-                        [base_band, np.repeat(base_band, band_bits)]
-                    ).astype(np.int32),
-                    "band_sig": np.concatenate([base_sig, probe_sig]).astype(np.int64),
-                    "probe": np.concatenate(
-                        [
-                            np.zeros(n * n_bands, dtype=np.int32),
-                            np.ones(n * n_bands * band_bits, dtype=np.int32),
-                        ]
-                    ),
+                    "vec_id": vid.astype(np.int64),
+                    "band_idx": band.astype(np.int32),
+                    "band_sig": sig.astype(np.int64),
+                    "probe": pr,
                 }
             )
 
-    sigs = spark.table("embeddings").select("vec_id", "embedding").mapInPandas(
+    sigs = spark.table(view).select("vec_id", "embedding").mapInPandas(
         signatures, schema="vec_id bigint, band_idx int, band_sig bigint, probe int"
     ).persist()  # referenced by BOTH sides of the band self-join — one
     # signature computation, not two (plan-audited: single MapInPandas)
     caches.register(sigs)
-    sigs.createOrReplaceTempView("lsh_sigs")
-    return spark.sql(_LSH_PAIRS_VERIFY_SQL)
+    sigs.createOrReplaceTempView(sig_view)
+    return spark.sql(
+        _LSH_PAIRS_VERIFY_TMPL.format(
+            view=view, sig_view=sig_view, threshold=threshold
+        )
+    )
+
+
+def _lsh_cosine_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-similarity regime (the 0.45-threshold oracle-twin test regime):
+    OR-heavy banding + multi-probe to hold recall at p ≈ 0.65."""
+    _views(spark, sf_dir)
+    return hyperplane_lsh_pairs(
+        spark,
+        n_bands=_LSH_N_BANDS,
+        band_bits=_LSH_BAND_BITS,
+        probe=True,
+        threshold=_LSH_VERIFY_THRESHOLD,
+    )
+
+
+def _lsh_cosine_pairs_strong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production near-dup regime (cos >= 0.8): 64 bands x 16 bits, no
+    probe — recall >= 0.95 at the regime's similarities with 2^-16/band
+    chance collisions and a quarter of the weak regime's shuffle rows.
+    Recall-gated in pytest against an exact 0.8-threshold twin on planted
+    near-duplicates (the driver corpus has no cos >= 0.8 pairs)."""
+    _views(spark, sf_dir)
+    return hyperplane_lsh_pairs(
+        spark,
+        n_bands=_LSH_STRONG_N_BANDS,
+        band_bits=_LSH_STRONG_BAND_BITS,
+        probe=False,
+        threshold=_LSH_STRONG_THRESHOLD,
+        sig_view="lsh_sigs_strong",
+    )
 
 
 # Embedding-cosine near-duplicate pairs (dedup family, exact baseline for
@@ -1310,6 +1367,7 @@ QUERIES: dict[str, tuple] = {
     "simhash_candidate_pairs": (_sql(_SIMHASH_PAIRS), None),
     "lsh_cosine_buckets": (_sql(_LSH_COSINE_BUCKETS), None),
     "lsh_cosine_candidate_pairs": (_lsh_cosine_candidate_pairs, None),
+    "lsh_cosine_pairs_strong": (_lsh_cosine_pairs_strong, None),
     "ivf_topk": (_ivf_topk, None),
     "mean_embedding_per_lang": (_mean_embedding_per_lang, _MEAN_EMB_ORACLE),
     "markdown_sections": (_markdown_sections, None),

@@ -82,6 +82,12 @@ def test_minhash_candidates_cover_true_pairs(spark):
     assert exact, "expected planted near-duplicates in the documents table"
     missed = exact - approx
     assert not missed, f"LSH missed true near-dup pairs: {missed}"
+    # bounded candidates (VERDICT r2): a degenerate all-pairs generator
+    # would also "cover" every true pair — cap candidate volume at 5x the
+    # true pairs (all-pairs would be ~C(500,2) ≈ 125k)
+    assert len(approx) <= 5 * len(exact), (
+        f"MinHash candidate volume {len(approx)} not sub-quadratic"
+    )
 
 
 def test_simhash_candidates_cover_true_pairs(spark):
@@ -99,6 +105,15 @@ def test_simhash_candidates_cover_true_pairs(spark):
     assert exact, "expected planted near-duplicates in the documents table"
     missed = exact - approx
     assert not missed, f"SimHash bands missed true near-dup pairs: {missed}"
+    # bounded candidates (VERDICT r2): the 8x8 banding admits chance
+    # Hamming collisions (~444 at sf0.01) but must stay far below the
+    # all-pairs C(500,2) ≈ 125k a degenerate generator would emit
+    n_docs = spark.table("documents").count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+    assert len(approx) <= 0.02 * all_pairs, (
+        f"SimHash candidate volume {len(approx)} not sub-quadratic "
+        f"(all-pairs {all_pairs})"
+    )
 
 
 def test_lsh_cosine_candidates_recall_and_precision(spark):
@@ -229,3 +244,90 @@ def test_quantize_all_zero_vector_guard(spark):
     zero = [r for r in srows if r[0] == 0]
     assert len(zero) == 3
     assert all(r[1] == 0 and r[3] == 0 for r in zero)  # scale_micro, code
+
+
+def test_lsh_strong_regime_recall_precision_bound(spark):
+    """Production-regime LSH (cos >= 0.8, 64 bands x 16 bits, no probe) on
+    the driver corpus AUGMENTED with planted near-duplicates — the driver
+    embeddings top out at cosine ~0.51, so the 0.8 regime needs seeded
+    planted pairs (cos uniform in [0.85, 0.97]) to make the gates
+    non-vacuous.  Gates: precision 1.0 (exact verify), recall >= 0.9 vs
+    the exact 0.8-threshold twin, and banded candidate volume bounded far
+    below all-pairs.  Deterministic: perturbations and planes are seeded."""
+    import numpy as np
+
+    from extractor_spark.spark.queries import (
+        _LSH_STRONG_BAND_BITS,
+        _LSH_STRONG_N_BANDS,
+        hyperplane_lsh_pairs,
+        release_query_caches,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").orderBy("vec_id")
+    rows = base.collect()
+    X = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+
+    rng = np.random.default_rng(0xD0B5)
+    n_plant = 25
+    pick = rng.choice(len(X), size=n_plant, replace=False)
+    planted, planted_ids = [], []
+    for j, i in enumerate(pick):
+        v = X[i] / np.linalg.norm(X[i])
+        r = rng.standard_normal(v.shape)
+        orth = r - (r @ v) * v
+        orth /= np.linalg.norm(orth)
+        cos_t = rng.uniform(0.85, 0.97)
+        w = cos_t * v + np.sqrt(1 - cos_t**2) * orth
+        planted.append((w * np.linalg.norm(X[i])).tolist())
+        planted_ids.append(1_000_000 + int(ids[i]))
+    allX = np.vstack([X, np.array(planted)])
+    all_ids = np.concatenate([ids, np.array(planted_ids)])
+
+    import pandas as pd
+
+    spark.createDataFrame(
+        pd.DataFrame({"vec_id": all_ids, "embedding": list(map(list, allX))})
+    ).createOrReplaceTempView("emb_planted")
+
+    # exact 0.8-threshold twin (numpy — 525 vectors)
+    N = allX / np.linalg.norm(allX, axis=1, keepdims=True)
+    S = N @ N.T
+    iu = np.triu_indices(len(N), 1)
+    exact = {
+        (int(min(all_ids[a], all_ids[b])), int(max(all_ids[a], all_ids[b])))
+        for a, b in zip(*iu)
+        if S[a, b] >= 0.8
+    }
+    assert len(exact) >= n_plant  # every planted pair qualifies
+
+    got = {
+        (r["v1"], r["v2"])
+        for r in hyperplane_lsh_pairs(
+            spark,
+            view="emb_planted",
+            n_bands=_LSH_STRONG_N_BANDS,
+            band_bits=_LSH_STRONG_BAND_BITS,
+            probe=False,
+            threshold=0.8,
+            sig_view="lsh_sigs_strong_test",
+        ).collect()
+    }
+    false_pos = got - exact
+    assert not false_pos, f"verify stage leaked non-pairs: {false_pos}"
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"strong-regime recall {recall:.3f} < 0.9"
+
+    # candidate volume: sum over band-buckets of C(size, 2) must stay far
+    # below all-pairs (chance 16-bit collisions ≈ n_pairs * bands * 2^-16)
+    vol = spark.sql(
+        "SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS v FROM ("
+        "  SELECT count(*) AS c FROM lsh_sigs_strong_test"
+        "  GROUP BY band_idx, band_sig)"
+    ).first()["v"]
+    n = len(allX)
+    all_pairs = n * (n - 1) // 2
+    assert vol <= 0.05 * all_pairs, (
+        f"banded candidate volume {vol} not sub-quadratic (all-pairs {all_pairs})"
+    )
+    release_query_caches()
