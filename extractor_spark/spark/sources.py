@@ -102,7 +102,10 @@ def write_output(
     conf (pipeline.run_pipeline sets it).
     """
     if fmt == "iceberg":
-        df.writeTo(location).partitionedBy(df[partition_col]).createOrReplace()
+        writer = df.writeTo(location)
+        if partition_col and partition_col in df.columns:
+            writer = writer.partitionedBy(df[partition_col])
+        writer.createOrReplace()
         return
     if fmt == "jsonl":
         # training-data export shape: one JSON object per line (binary
