@@ -104,16 +104,78 @@ def iter_warc_records(data: bytes):
         i = body_start + length
 
 
+def _dechunk(body: bytes) -> bytes | None:
+    """Decode a Transfer-Encoding: chunked body; None when the framing is
+    broken (caller falls back to the raw bytes)."""
+    out = bytearray()
+    i, n = 0, len(body)
+    while True:
+        j = body.find(b"\r\n", i)
+        if j == -1:
+            return None
+        size_tok = body[i:j].split(b";")[0].strip()  # drop chunk extensions
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None
+        if size == 0:
+            return bytes(out)  # trailers (if any) are not page bytes
+        start = j + 2
+        end = start + size
+        if end > n:
+            return None
+        out += body[start:end]
+        if body[end : end + 2] != b"\r\n":
+            return None
+        i = end + 2
+
+
 def http_body(payload: bytes) -> bytes:
     """Strip the HTTP response envelope from a response record's payload
-    (CC stores the raw HTTP message).  Payloads that don't look like HTTP
-    are returned unchanged (``resource`` records store the body directly)."""
+    (CC stores the raw HTTP message) and undo the wire encodings real
+    crawls carry: Transfer-Encoding: chunked is de-chunked, then
+    Content-Encoding: gzip/x-gzip/deflate is decompressed — otherwise
+    chunk-framed or compressed bytes would reach the converter as garbage
+    HTML.  Tolerant: broken framing or a bad stream falls back to the raw
+    body bytes (one corrupt record must not fail a task).  Payloads that
+    don't look like HTTP are returned unchanged (``resource`` records
+    store the body directly)."""
     if not payload.startswith(b"HTTP/"):
         return payload
     sep = payload.find(b"\r\n\r\n")
     if sep == -1:
         return payload
-    return payload[sep + 4 :]
+    body = payload[sep + 4 :]
+    chunked, cenc = False, ""
+    for line in payload[:sep].decode("latin-1").split("\r\n")[1:]:
+        k, s, v = line.partition(":")
+        if not s:
+            continue
+        k, v = k.strip().lower(), v.strip().lower()
+        if k == "transfer-encoding" and "chunked" in v:
+            chunked = True
+        elif k == "content-encoding":
+            cenc = v
+    if chunked:
+        dechunked = _dechunk(body)
+        if dechunked is not None:
+            body = dechunked
+    if cenc in ("gzip", "x-gzip"):
+        try:
+            d = zlib.decompressobj(31)
+            body = d.decompress(body) + d.flush()
+        except zlib.error:
+            pass
+    elif cenc == "deflate":
+        # the wild ships both zlib-wrapped and raw-deflate under "deflate"
+        for wbits in (15, -15):
+            try:
+                d = zlib.decompressobj(wbits)
+                body = d.decompress(body) + d.flush()
+                break
+            except zlib.error:
+                continue
+    return body
 
 
 def extract_pages(data: bytes, gzipped: bool = False):

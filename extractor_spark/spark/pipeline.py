@@ -172,6 +172,20 @@ def _delete_path(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
+def _has_bucket_partitions(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` already holds bucket=N partition dirs — output
+    from some prior run."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    for st in fs.listStatus(hpath):
+        if st.getPath().getName().startswith("bucket="):
+            return True
+    return False
+
+
 def warmup(spark: SparkSession, pages_path: str, n_rows: int = 512) -> None:
     """Exercise the full stage chain on a small slice so JVM JIT, codegen,
     and Python-worker spawn costs are paid before measurement (a cluster
@@ -214,7 +228,23 @@ def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
     skipped_buckets = 0
     done: list[int] = []
     if conf.resume:
-        done = completed_buckets(spark, manifest_path, conf.n_buckets) or []
+        done_or_none = completed_buckets(spark, manifest_path, conf.n_buckets)
+        if done_or_none is None and _has_bucket_partitions(spark, conf.output_path):
+            # resume identity contract (mirrors the n_buckets mismatch
+            # check): output holds bucket partitions but the manifest is
+            # missing — deleted, or written by a run that predates it.
+            # Treating this as fresh WITHOUT deleting would let leftover
+            # partitions from a different n_buckets (ids >= the current
+            # modulus are never overwritten) silently pollute the output
+            # and the cumulative totals.  The operator decides.
+            raise ValueError(
+                f"resume=True but no manifest at {manifest_path} while "
+                f"{conf.output_path} already contains bucket partitions; "
+                "refusing to guess their provenance. Delete the stale "
+                "output (or run with resume=False, which clears it) or "
+                "restore the manifest."
+            )
+        done = done_or_none or []
         if done:
             skipped_buckets = len(done)
             # bucket list is tiny — a literal NOT IN filter (no shuffle,

@@ -353,6 +353,11 @@ GROUP BY user_id, session_id
 # The same sessionization via Spark's NATIVE session_window aggregate (no
 # DuckDB analog — rows-only; pytest asserts row-set equality with the
 # oracled lag+cumsum composition above, minus its synthetic session_id).
+# Boundary semantics: session_window merges AT the gap (next.start <=
+# prev.end, verified empirically on Spark 4.1), which equals the
+# composition's strict '> gap' break rule — an event exactly 30 minutes
+# after its predecessor stays in the session in BOTH queries; pinned by
+# test_session_boundary_exactly_gap.
 _SESSIONS_NATIVE = """
 SELECT user_id,
        unix_micros(session_window.start) AS session_start_us,

@@ -331,3 +331,38 @@ def test_lsh_strong_regime_recall_precision_bound(spark):
         f"banded candidate volume {vol} not sub-quadratic (all-pairs {all_pairs})"
     )
     release_query_caches()
+
+
+def test_session_boundary_exactly_gap(spark):
+    """ADVICE r2 claimed session_window's end is exclusive, so an event
+    exactly 30 minutes after its predecessor would start a new session in
+    the native query but not in the lag+cumsum composition.  Empirically
+    (Spark 4.1) session_window merges AT the gap boundary — next.start <=
+    prev.end — which is exactly the composition's strict '>' break rule.
+    This pins that alignment with boundary rows the synth data never
+    produces: [t0, t0+30:00, t0+60:00.000001] must be sessions of (2, 1)
+    events in BOTH queries (the third event's gap is 30min + 1us > gap)."""
+    import datetime as dt
+
+    from extractor_spark.spark.queries import _SESSIONS_NATIVE, _SESSIONS_SPARK
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 100, 1.0),
+        (1, t0 + dt.timedelta(minutes=30), 101, 1.0),
+        (1, t0 + dt.timedelta(minutes=60, microseconds=1), 102, 1.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, value double"
+    ).createOrReplaceTempView("events")
+
+    comp = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.sql(_SESSIONS_SPARK).collect()
+    }
+    native = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.sql(_SESSIONS_NATIVE).collect()
+    }
+    assert comp == native
+    assert sorted(n for (_, _, _, n) in comp) == [1, 2]

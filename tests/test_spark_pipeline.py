@@ -401,3 +401,38 @@ def test_defuse_skew_spreads_hot_host(spark):
     used = sum(1 for n in per_part if n > 0)
     assert used >= 8, f"hot host landed on only {used} partitions: {per_part}"
     assert max(per_part) < 400, "hot host serialized on a single partition"
+
+
+def test_resume_without_manifest_over_stale_output_fails_loudly(
+    spark, pages_path, tmp_path
+):
+    """ADVICE r2: resume=True against an output dir holding bucket
+    partitions but NO manifest (deleted / never written) must raise, not
+    silently treat the run as fresh — leftover partitions from a prior run
+    with a different n_buckets would pollute the output and totals."""
+    import shutil
+
+    out = str(tmp_path / "out")
+    conf = PipelineConfig(
+        pages_path=pages_path, output_path=out, n_buckets=8, resume=False
+    )
+    run_pipeline(spark, conf)
+    shutil.rmtree(f"{out}/_manifest")
+
+    with pytest.raises(ValueError, match="no manifest"):
+        run_pipeline(
+            spark,
+            PipelineConfig(
+                pages_path=pages_path, output_path=out, n_buckets=8, resume=True
+            ),
+        )
+
+    # resume into a genuinely EMPTY output dir is still a legal fresh start
+    out2 = str(tmp_path / "out2")
+    summary = run_pipeline(
+        spark,
+        PipelineConfig(
+            pages_path=pages_path, output_path=out2, n_buckets=8, resume=True
+        ),
+    )
+    assert summary["docs"] > 0

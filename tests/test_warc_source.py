@@ -82,3 +82,104 @@ def test_negative_content_length_and_tz_offset():
               b"WARC-Date: 2024-03-01T10:00:00+02:00\r\nContent-Length: 4\r\n\r\nbody")
     (_, ts, _), = extract_pages(offset)
     assert ts == datetime.datetime(2024, 3, 1, 8, 0)
+
+
+def _chunk(data: bytes, sizes) -> bytes:
+    out = bytearray()
+    i = 0
+    for s in sizes:
+        piece = data[i : i + s]
+        out += f"{len(piece):x}".encode() + b"\r\n" + piece + b"\r\n"
+        i += s
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
+def test_http_body_chunked():
+    from extractor_spark.engine.warc import http_body
+
+    html = b"<html><body>chunked page body</body></html>"
+    payload = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        + _chunk(html, [10, 16, 100])
+    )
+    assert http_body(payload) == html
+
+
+def test_http_body_chunk_extension_and_trailer():
+    from extractor_spark.engine.warc import http_body
+
+    html = b"abcdef"
+    body = b"3;ext=1\r\nabc\r\n3\r\ndef\r\n0\r\nX-Trailer: v\r\n\r\n"
+    payload = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body
+    assert http_body(payload) == html
+
+
+def test_http_body_gzip_content_encoding():
+    from extractor_spark.engine.warc import http_body
+
+    html = b"<html>gzipped body</html>"
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gzip.compress(html)
+    )
+    assert http_body(payload) == html
+
+
+def test_http_body_deflate_both_wrappings():
+    import zlib
+
+    from extractor_spark.engine.warc import http_body
+
+    html = b"<html>deflated</html>"
+    for raw in (zlib.compress(html), zlib.compress(html)[2:-4]):  # zlib + raw
+        payload = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + raw
+        assert http_body(payload) == html
+
+
+def test_http_body_chunked_then_gzip():
+    """TE is the outer wire framing: de-chunk first, then gunzip."""
+    from extractor_spark.engine.warc import http_body
+
+    html = b"<html>both encodings</html>"
+    gz = gzip.compress(html)
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + _chunk(gz, [7, 5, 1000])
+    )
+    assert http_body(payload) == html
+
+
+def test_http_body_corrupt_encodings_fall_back_to_raw():
+    from extractor_spark.engine.warc import http_body
+
+    bad_chunked = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZZ\r\nnope"
+    assert http_body(bad_chunked) == b"ZZZ\r\nnope"
+    bad_gzip = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip at all"
+    assert http_body(bad_gzip) == b"not gzip at all"
+
+
+def test_extract_pages_decodes_chunked_gzip_records():
+    """End-to-end through the record reader: a WARC response whose HTTP
+    payload is chunked+gzipped yields clean HTML bytes."""
+    from extractor_spark.engine.warc import extract_pages
+
+    html = b"<html><body>real page</body></html>"
+    gz = gzip.compress(html)
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + _chunk(gz, [11, 1000])
+    )
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://enc.test/page\r\n"
+        b"WARC-Date: 2025-06-01T00:00:00Z\r\n"
+        + f"Content-Length: {len(http)}\r\n".encode()
+        + b"Content-Type: application/http; msgtype=response\r\n\r\n"
+        + http
+        + b"\r\n\r\n"
+    )
+    pages = list(extract_pages(rec))
+    assert len(pages) == 1
+    url, ts, body = pages[0]
+    assert url == "https://enc.test/page" and body == html
