@@ -12,6 +12,7 @@ positive).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from urllib.parse import urlsplit
 
 from extractor_spark.engine.schema import UNDEFINED
@@ -36,8 +37,14 @@ _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 _SPECIAL_SCHEMES = frozenset(["http", "https", "ws", "wss", "ftp"])
 
 
+@lru_cache(maxsize=8192)
 def is_valid_url(value: str) -> bool:
-    """Approximate ``new URL(value)`` success (zod's url check)."""
+    """Approximate ``new URL(value)`` success (zod's url check).
+
+    Memoized: corpora repeat link targets heavily (nav/footer links recur on
+    every page of a host), and the check is a pure function of the string —
+    the cache turns the per-link scheme-regex + urlsplit into a dict hit on
+    the E-stage profile (~25 url checks/doc)."""
     if not _SCHEME_RE.match(value):
         return False
     try:
