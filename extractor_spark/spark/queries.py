@@ -753,6 +753,22 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
 
 
+def _dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering, computed by alternating large/small-star
+    (graph.star_components) — the O(log diameter) variant for corpora where
+    near-dup chains are long (template families, paraphrase chains).
+    Shares _DEDUP_CLUSTERS_ORACLE, so the driver hash-checks that both CC
+    algorithms produce identical clusters."""
+    from pyspark.sql import functions as F
+
+    from extractor_spark.spark.graph import star_components
+
+    _views(spark, sf_dir)
+    pairs = spark.sql(_JACCARD_SPARK).selectExpr("d1 AS src", "d2 AS dst")
+    labels = star_components(spark.table("documents"), pairs, "doc_id")
+    return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over `embeddings`
 # ---------------------------------------------------------------------------
@@ -1359,6 +1375,7 @@ QUERIES: dict[str, tuple] = {
     "top_tfidf_terms": (_sql(_TFIDF_SPARK), _TFIDF_ORACLE),
     "rolling_fingerprints": (_sql(_ROLLING_FP_SPARK), _ROLLING_FP_ORACLE),
     "dedup_clusters": (_dedup_clusters, _DEDUP_CLUSTERS_ORACLE),
+    "dedup_clusters_star": (_dedup_clusters_star, _DEDUP_CLUSTERS_ORACLE),
     "quality_scores": (_sql(_QUALITY_SPARK), _QUALITY_ORACLE),
     "lang_id": (_sql(_LANG_ID), _LANG_ID),
     "ngram_jaccard_pairs": (_sql(_JACCARD_SPARK), _JACCARD_ORACLE),

@@ -42,7 +42,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM hosts every executor thread plus all
+        # cached/checkpointed blocks; on this 128 GiB box 8g caused
+        # GCLocker-retry task aborts at the tail of long benches (32 threads
+        # allocating under a nearly-full heap).  24g leaves >90 GiB for the
+        # 32 Arrow-fed Python workers.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     # Shuffle/spill on the RAM disk when one exists (memory-rich local node;
     # overridable via SPARK_LOCAL_DIRS) — avoids disk-latency noise.
