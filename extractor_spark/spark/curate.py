@@ -25,53 +25,77 @@ from pyspark.sql import functions as F
 
 from . import caches
 
-_MINHASH_PAIRS_TMPL = """
-WITH toks AS (
-  SELECT url, split(trim(text), '\\\\s+') AS w FROM {view}
-),
-sh AS (
-  SELECT DISTINCT url, sh.shingle
-  FROM toks
-  LATERAL VIEW explode(
-    transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
-  ) sh AS shingle
-  WHERE size(w) >= 3
-),
-seeded AS (
-  SELECT url, s.seed, min(xxhash64(shingle, s.seed)) AS mh
-  FROM sh LATERAL VIEW posexplode(sequence(0, 63)) s AS seed, sval
-  GROUP BY url, s.seed
-),
-sigs AS (
+# Per-doc hashed-shingle SETS as one array row (no (url, shingle) explode
+# anywhere).  Shingles are 64-bit xxhash64'd up front: Jaccard over hashed
+# shingles equals Jaccard over strings up to hash collisions (~|S|²/2⁶⁴ per
+# doc pair — negligible), and the set rides through every later stage as a
+# ~1.6 KB array instead of ~200 string rows.  This is what makes the verify
+# stage scale: the old exploded-form verify built a |cand| × |shingles/doc|
+# row intermediate (≈10⁹ rows / ~100 GB shuffle at 100k docs) and OOM'd the
+# box; the array form shuffles |cand| pair rows + one 2-column array table.
+_SHINGLE_SETS_TMPL = """
+SELECT url,
+       array_distinct(transform(
+         sequence(0, size(w) - 3),
+         i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))) AS hs
+FROM (SELECT url, split(trim(text), '\\\\s+') AS w FROM {view})
+WHERE size(w) >= 3
+"""
+
+# 64 MinHash values per doc as a pure array expression over the hashed
+# shingle set — 64 × |hs| JVM-side hash evals in one projection, NO
+# 64-way posexplode and NO (url, seed) shuffle — then 16 bands of 4.
+_BANDS_SQL = """
+SELECT url, b.pos AS band_idx,
+       xxhash64(sig[b.pos * 4], sig[b.pos * 4 + 1], sig[b.pos * 4 + 2], sig[b.pos * 4 + 3]) AS band_hash
+FROM (
   SELECT url,
-         transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh) AS sig
-  FROM seeded GROUP BY url
-),
-bands AS (
-  SELECT url, b.pos AS band_idx,
-         xxhash64(sig[b.pos * 4], sig[b.pos * 4 + 1], sig[b.pos * 4 + 2], sig[b.pos * 4 + 3]) AS band_hash
-  FROM sigs
-  LATERAL VIEW posexplode(sequence(0, 15)) b AS pos, val
+         transform(sequence(0, 63),
+                   seed -> array_min(transform(hs, h -> xxhash64(h, seed)))) AS sig
+  FROM curate_sh
+)
+LATERAL VIEW posexplode(sequence(0, 15)) b AS pos, val
+"""
+
+# Banded candidates as a STAR per bucket (each member links to the bucket's
+# min url), then exact-Jaccard verify on those pairs only via
+# array_intersect over the per-doc hash sets.
+#
+# Star-per-bucket is what keeps candidate volume LINEAR in bucket size: an
+# all-pairs bucket join is quadratic per bucket, and on template-heavy web
+# corpora one hot band bucket (measured: 2,319 docs in the 100k-page bench
+# corpus) concentrates C(2319,2) ≈ 2.7M pairs × two 1.6 KB hash arrays into
+# a single join task — an unsplittable straggler AQE's skew join cannot
+# help with (the skew only exists in the join OUTPUT).  For clustering,
+# star connectivity is equivalent UP TO the verify: x—y inside one bucket
+# are connected iff both (hub,x) and (hub,y) survive the Jaccard gate,
+# rather than iff (x,y) does.  For true near-dup families (the thing hot
+# buckets are made of) hub edges verify; borderline pairs may fragment
+# across clusters — the price of linear candidate volume, and the standard
+# production trade (16 independent bands give 16 independent hubs, so a
+# genuine cluster needs all 16 star edges to fail before it splits).
+_VERIFIED_PAIRS_TMPL = """
+WITH hubs AS (
+  SELECT band_idx, band_hash, min(url) AS hub
+  FROM curate_bands
+  GROUP BY band_idx, band_hash
 ),
 cand AS (
-  SELECT DISTINCT a.url AS u1, b.url AS u2
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.url < b.url
-),
--- exact-Jaccard verify on CANDIDATES only (the all-pairs join never happens)
-sh_sizes AS (SELECT url, count(*) AS n FROM sh GROUP BY url),
-common AS (
-  SELECT c.u1, c.u2, count(*) AS n_common
-  FROM cand c
-  JOIN sh s1 ON s1.url = c.u1
-  JOIN sh s2 ON s2.url = c.u2 AND s2.shingle = s1.shingle
-  GROUP BY c.u1, c.u2
+  SELECT DISTINCT h.hub AS u1, b.url AS u2
+  FROM curate_bands b
+  JOIN hubs h ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash
+  WHERE b.url <> h.hub
 )
-SELECT m.u1, m.u2
-FROM common m
-JOIN sh_sizes z1 ON m.u1 = z1.url
-JOIN sh_sizes z2 ON m.u2 = z2.url
-WHERE CAST(m.n_common AS DOUBLE) / (z1.n + z2.n - m.n_common) >= {threshold}
+SELECT u1, u2
+FROM (
+  SELECT c.u1, c.u2,
+         CAST(size(array_intersect(s1.hs, s2.hs)) AS DOUBLE) AS n_common,
+         CAST(size(s1.hs) + size(s2.hs) AS DOUBLE) AS n_total
+  FROM cand c
+  JOIN curate_sh s1 ON s1.url = c.u1
+  JOIN curate_sh s2 ON s2.url = c.u2
+)
+WHERE n_common / (n_total - n_common) >= {threshold}
 """
 
 
@@ -118,9 +142,16 @@ def curate(
 
     # 2. near-dup clusters → canonical per cluster (longest text, then url)
     docs.createOrReplaceTempView("curate_docs")
-    pairs = spark.sql(
-        _MINHASH_PAIRS_TMPL.format(view="curate_docs", threshold=jaccard_threshold)
-    )
+    # materialize the shingle sets and band table once each (both are
+    # consumed 2-3 times downstream; without the checkpoint Spark would
+    # recompute the 64-hash signature projection per consumer)
+    before = caches.persistent_ids(sc)
+    sh = spark.sql(_SHINGLE_SETS_TMPL.format(view="curate_docs")).localCheckpoint()
+    sh.createOrReplaceTempView("curate_sh")
+    bands = spark.sql(_BANDS_SQL).localCheckpoint()
+    bands.createOrReplaceTempView("curate_bands")
+    ckpt_handles += caches.checkpoint_handles_since(sc, before)
+    pairs = spark.sql(_VERIFIED_PAIRS_TMPL.format(threshold=jaccard_threshold))
     labels = _components(docs, pairs)
     wc = Window.partitionBy("cluster_id").orderBy(
         F.length("text").desc(), F.col("url").asc()
