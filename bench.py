@@ -120,6 +120,10 @@ def main() -> None:
         "top_tfidf_terms",
         "pii_scrub",
         "embedding_quantize",
+        # round-3 additions
+        "dedup_clusters_star",
+        "knn_join",
+        "cust_order_distribution",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

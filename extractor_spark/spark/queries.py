@@ -277,6 +277,63 @@ EXCEPT
 SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-07-01 00:00:00'
 """
 
+# INTERSECT twin: active in BOTH halves (the other set-op plan shape).
+_SET_OPS_INTERSECT = """
+SELECT user_id FROM events WHERE ts <  TIMESTAMP '2024-07-01 00:00:00'
+INTERSECT
+SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-07-01 00:00:00'
+"""
+
+# TPC-H Q13 shape: outer join with an ON-clause filter, then a distribution
+# over the grouped counts (aggregate-of-aggregate; the outer join must keep
+# order-less customers as count 0).
+_CUST_ORDER_DIST = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) counted
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+# TPC-H Q4 shape: correlated EXISTS against the fact table inside a windowed
+# date range — Catalyst rewrites to a left-semi hash join.
+_PRIORITY_WITH_LATE_ITEMS = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# PIVOT (wide conditional aggregation).  Spark's native PIVOT emits NULL for
+# empty cells, so the outer SELECT coalesces to 0; the DuckDB oracle is the
+# equivalent FILTERed aggregation (count(*) FILTER is already 0 on empty).
+_ORDERS_PIVOT_SPARK = """
+SELECT o_orderpriority,
+       CAST(coalesce(o_cnt, 0) AS BIGINT) AS n_open,
+       CAST(coalesce(f_cnt, 0) AS BIGINT) AS n_filled,
+       CAST(coalesce(p_cnt, 0) AS BIGINT) AS n_partial
+FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+PIVOT (count(*) FOR o_orderstatus IN ('O' AS o_cnt, 'F' AS f_cnt, 'P' AS p_cnt))
+ORDER BY o_orderpriority
+"""
+_ORDERS_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_open,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_filled,
+       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_partial
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
 # Rollup (grouping-sets family) over document dimensions.
 _DOCS_ROLLUP = """
 SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -797,6 +854,53 @@ FROM embeddings a CROSS JOIN embeddings b
 WHERE a.vec_id = 0 AND b.vec_id <> 0
 ORDER BY cos_sim DESC, vec_id ASC
 LIMIT 10
+"""
+
+# kNN JOIN: top-3 cosine neighbors for EACH of a batch of query vectors —
+# the similarity-search primitive as a join, not a single-probe lookup.  The
+# query side (vec_id < 5) is tiny, so Catalyst broadcasts it and the scan of
+# the candidate side streams once (BroadcastNestedLoopJoin); ranking is on
+# the ROUNDED score in both engines so ordering is cross-engine identical.
+# At 100 TB the brute-force candidate side is replaced by the IVF cell
+# restriction (ivf_topk) — this is its exactness oracle.
+_KNN_JOIN_SPARK = """
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(round(
+           aggregate(zip_with(a.embedding, b.embedding,
+                              (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                     0D, (acc, v) -> acc + v)
+           / (sqrt(aggregate(a.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+              * sqrt(aggregate(b.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+         , 4) AS DOUBLE) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 5
+)
+SELECT query_id, neighbor_id, cos_sim
+FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+) ranked
+WHERE rn <= 3
+"""
+_KNN_JOIN_ORACLE = """
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4) AS DOUBLE) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 5
+)
+SELECT query_id, neighbor_id, cos_sim
+FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+) ranked
+WHERE rn <= 3
 """
 
 # ---------------------------------------------------------------------------
@@ -1360,6 +1464,10 @@ QUERIES: dict[str, tuple] = {
     "asof_latest_order": (_sql(_ASOF_JOIN_SPARK), _ASOF_JOIN_ORACLE),
     "events_within_7d_of_order": (_sql(_INTERVAL_JOIN_SPARK), _INTERVAL_JOIN_ORACLE),
     "inactive_second_half_users": (_sql(_SET_OPS), _SET_OPS),
+    "both_half_users": (_sql(_SET_OPS_INTERSECT), _SET_OPS_INTERSECT),
+    "cust_order_distribution": (_sql(_CUST_ORDER_DIST), _CUST_ORDER_DIST),
+    "priority_with_late_items": (_sql(_PRIORITY_WITH_LATE_ITEMS), _PRIORITY_WITH_LATE_ITEMS),
+    "orders_status_pivot": (_sql(_ORDERS_PIVOT_SPARK), _ORDERS_PIVOT_ORACLE),
     "docs_rollup": (_sql(_DOCS_ROLLUP), _DOCS_ROLLUP),
     "docs_cube": (_sql(_DOCS_CUBE), _DOCS_CUBE),
     "running_value_per_user": (_sql(_RUNNING_VALUE), _RUNNING_VALUE),
@@ -1380,6 +1488,7 @@ QUERIES: dict[str, tuple] = {
     "lang_id": (_sql(_LANG_ID), _LANG_ID),
     "ngram_jaccard_pairs": (_sql(_JACCARD_SPARK), _JACCARD_ORACLE),
     "embedding_topk": (_sql(_EMB_TOPK_SPARK), _EMB_TOPK_ORACLE),
+    "knn_join": (_sql(_KNN_JOIN_SPARK), _KNN_JOIN_ORACLE),
     "embedding_cosine_dups": (_sql(_EMB_COSINE_DUPS_SPARK), _EMB_COSINE_DUPS_ORACLE),
     # scale-path approximations — rows-only checks
     "approx_stats": (_sql(_APPROX_STATS), None),

@@ -46,6 +46,26 @@ def stream_events_hourly(
     )
 
 
+def stream_dedup_events(
+    spark: SparkSession, events_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark``: keeps one
+    row per event_id while holding dedup state only within the watermark
+    horizon — the bounded-state answer to at-least-once redelivery (a crawl
+    frontier re-emitting a url, a log shipper replaying a segment).  Plain
+    ``dropDuplicates`` on a stream accumulates state forever; the
+    within-watermark variant is what survives a year-long run.  Batch twin:
+    the exact_dup_groups / dedup_latest_event queries."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 SESSION_OUTPUT_SCHEMA = (
     "user_id bigint, session_start_us bigint, session_end_us bigint, "
     "n_events bigint, closed boolean"

@@ -392,3 +392,55 @@ def test_tws_sessionizer_gated_or_parity(spark, tmp_path):
         for r in batch_fn(spark, "/root/testdata/sf0.001").collect()
     }
     assert streamed == batch
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must emit each event_id once across
+    micro-batches whose duplicates fall inside the watermark horizon, and
+    the surviving rows must be real input rows (batch-twin comparison)."""
+    from extractor_spark.spark.streaming import stream_dedup_events
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    base = (
+        spark.read.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .parquet("/root/testdata/sf0.001/events.parquet")
+        .limit(400)
+    )
+    # file 1: first 300; file 2: rows 200-400 (100 redelivered duplicates).
+    # FileStreamSource lists FLAT files — write each chunk to a scratch dir
+    # and copy its part file into the stream directory.
+    import glob
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    tail = (
+        base.withColumn("_rn", F.row_number().over(Window.orderBy("event_id")))
+        .filter("_rn > 200")
+        .drop("_rn")
+    )
+    for name, chunk in (("f1", base.limit(300)), ("f2", tail)):
+        scratch = str(tmp_path / f"scratch_{name}")
+        chunk.coalesce(1).write.parquet(scratch)
+        (part,) = glob.glob(f"{scratch}/part-*.parquet")
+        shutil.copy(part, str(events_dir / f"{name}.parquet"))
+
+    deduped = stream_dedup_events(spark, str(events_dir))
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = [r[0] for r in got]
+    assert len(ids) == len(set(ids)), "a duplicate event_id survived"
+    assert set(ids) == {r[0] for r in base.select("event_id").collect()}
