@@ -104,6 +104,47 @@ def tokenize(data: str, builder) -> None:
                     cdata_close = re.compile(r"</\s*%s\s*>" % tag, re.I)
                 i = tm0.end() + 1
                 continue
+            # fast path: tag WITH attributes — drive _attrfind (the stdlib's
+            # own attr grammar) directly from the tag name and accept only if
+            # it lands exactly on '>' or '/>'.  That is the same acceptance
+            # test the slow path applies AFTER scanning the tag once more
+            # with the verbose _locatestarttagend grammar, so well-formed
+            # tags (the crawl's hot path) skip that whole extra regex pass;
+            # anything else falls through to the byte-exact stdlib route.
+            # (equivalence gated by test_tokenizer_equiv.py)
+            if tm0 is not None:
+                k = tm0.end()
+                attrs = []
+                while True:
+                    am = _attrfind.match(data, k)
+                    if not am:
+                        break
+                    attrname, rest, attrvalue = am.group(1, 2, 3)
+                    if not rest:
+                        attrvalue = None
+                    elif (
+                        attrvalue[:1] == "'" == attrvalue[-1:]
+                        or attrvalue[:1] == '"' == attrvalue[-1:]
+                    ):
+                        attrvalue = attrvalue[1:-1]
+                    if attrvalue:
+                        attrvalue = unescape(attrvalue)
+                    attrs.append((attrname.lower(), attrvalue))
+                    k = am.end()
+                nxt2 = data[k : k + 1]
+                if nxt2 == ">":
+                    tag = tm0.group(1).lower()
+                    builder.handle_starttag(tag, attrs)
+                    if tag in _CDATA_ELEMS:
+                        cdata_elem = tag
+                        cdata_close = re.compile(r"</\s*%s\s*>" % tag, re.I)
+                    i = k + 1
+                    continue
+                if nxt2 == "/" and startswith("/>", k):
+                    builder.handle_startendtag(tm0.group(1).lower(), attrs)
+                    i = k + 2
+                    continue
+                # not a clean close — take the stdlib-exact slow path
             m = _locatestarttagend.match(data, i)
             j = m.end()
             nxt = data[j : j + 1]

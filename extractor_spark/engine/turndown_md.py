@@ -144,7 +144,13 @@ def collapse_whitespace(element: Element) -> None:
     while node is not element and node is not None:
         ntype = node.node_type
         if ntype == TEXT_NODE:
-            text = _COLLAPSE_RE.sub(" ", node.data)
+            data = node.data
+            # the sub is identity unless a tab/newline/CR or a space RUN is
+            # present — C-speed prechecks beat the regex on typical nodes
+            if "\n" in data or "  " in data or "\t" in data or "\r" in data:
+                text = _COLLAPSE_RE.sub(" ", data)
+            else:
+                text = data
             if (
                 (prev_text is None or prev_text.data.endswith(" "))
                 and not keep_leading_ws
@@ -371,7 +377,15 @@ class TurndownConverter:
 
     # -- core walk --------------------------------------------------------
     def _process(self, parent) -> str:
-        output = ""
+        # Linear-time fold of turndown's join rule.  The naive
+        # ``output = _join(output, replacement)`` re-copies (and re-rstrips)
+        # the whole accumulated output per child — quadratic for wide
+        # parents.  Invariant here: logical output = "".join(parts) +
+        # "\n" * trail, where "".join(parts) never ends with "\n";
+        # _join(output, rep) == rstrip-newlines(output) +
+        # "\n" * min(2, max(trail, leading-\n of rep)) + lstrip-newlines(rep).
+        parts: list[str] = []
+        trail = 0
         children = parent.children
         n = len(children)
         for i, node in enumerate(children):
@@ -384,8 +398,18 @@ class TurndownConverter:
                 replacement = self._replacement_for(node, prev_sib, next_sib)
             else:
                 replacement = ""
-            output = _join(output, replacement)
-        return output
+            s2 = replacement.lstrip("\n")
+            nls = len(replacement) - len(s2)
+            if nls > trail:
+                trail = nls
+            if trail > 2:
+                trail = 2
+            if s2:
+                core = s2.rstrip("\n")
+                parts.append("\n" * trail)
+                parts.append(core)
+                trail = len(s2) - len(core)
+        return "".join(parts) + "\n" * trail
 
     def _replacement_for(self, node: Element, prev_sib, next_sib) -> str:
         content = self._process(node)
