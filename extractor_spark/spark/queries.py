@@ -277,6 +277,25 @@ EXCEPT
 SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-07-01 00:00:00'
 """
 
+# Deterministic stratified sample: K docs per language, selected by ranking
+# on md5(doc_id) — a seedless, engine-independent "random" order (both
+# engines compute identical md5 hex), so the sampled set is reproducible
+# across engines, runs, AND cluster sizes (no rand(), no partition-order
+# dependence).  The per-group window is the standard distributed stratified
+# sampler: one shuffle on the stratum key, no driver involvement; at 100 TB
+# swap row_number for a per-stratum count + Bernoulli threshold if strata
+# are huge (row_number sorts each stratum).
+_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+  FROM documents
+) sampled
+WHERE rn <= 20
+"""
+
 # INTERSECT twin: active in BOTH halves (the other set-op plan shape).
 _SET_OPS_INTERSECT = """
 SELECT user_id FROM events WHERE ts <  TIMESTAMP '2024-07-01 00:00:00'
@@ -1465,6 +1484,7 @@ QUERIES: dict[str, tuple] = {
     "events_within_7d_of_order": (_sql(_INTERVAL_JOIN_SPARK), _INTERVAL_JOIN_ORACLE),
     "inactive_second_half_users": (_sql(_SET_OPS), _SET_OPS),
     "both_half_users": (_sql(_SET_OPS_INTERSECT), _SET_OPS_INTERSECT),
+    "stratified_sample": (_sql(_STRATIFIED_SAMPLE), _STRATIFIED_SAMPLE),
     "cust_order_distribution": (_sql(_CUST_ORDER_DIST), _CUST_ORDER_DIST),
     "priority_with_late_items": (_sql(_PRIORITY_WITH_LATE_ITEMS), _PRIORITY_WITH_LATE_ITEMS),
     "orders_status_pivot": (_sql(_ORDERS_PIVOT_SPARK), _ORDERS_PIVOT_ORACLE),
