@@ -1268,57 +1268,21 @@ _IVF_TRAIN_FRACTION = 0.7
 
 
 def _ivf_centroids(spark: SparkSession) -> "object":
-    import numpy as np
+    # Shared distributed-Lloyd trainer (spark/ivf.py — also the builder of
+    # the cell-partitioned on-disk index, the 100 TB serving shape; this
+    # in-session query is the recall-gated algorithm demo).  Training runs
+    # on a persisted seeded sample: ONE full-table scan materializes the
+    # training set, the _IVF_ITERS Lloyd iterations then hit the cache —
+    # the round-2 loop re-read the parquet every iteration.
+    from extractor_spark.spark.ivf import train_centroids
 
-    # Train on a persisted seeded sample: ONE full-table scan materializes
-    # the training set, the _IVF_ITERS Lloyd iterations then hit the cache.
-    # Before round 3 this loop re-read the parquet every iteration (6 scans
-    # incl. the dim probe) — at 100 TB that is 6 full-corpus passes for a
-    # k×d-sized result.
-    train = (
-        spark.table("embeddings")
-        .select("embedding")
-        .sample(fraction=_IVF_TRAIN_FRACTION, seed=_IVF_SEED)
-        .persist()
+    return train_centroids(
+        spark.table("embeddings"),
+        k=_IVF_K,
+        iters=_IVF_ITERS,
+        seed=_IVF_SEED,
+        train_fraction=_IVF_TRAIN_FRACTION,
     )
-    try:
-        dim = len(train.first()["embedding"])
-        rng = np.random.default_rng(_IVF_SEED)
-        centroids = rng.standard_normal((_IVF_K, dim))
-        centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
-
-        schema = "cell int, cnt long, vsum array<double>"
-        for _ in range(_IVF_ITERS):
-            c = centroids  # capture per-iteration value
-
-            def partial_sums(batches, c=c):
-                import numpy as np
-                import pandas as pd
-
-                for pdf in batches:
-                    if not len(pdf):
-                        continue
-                    x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-                    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
-                    cell = (xn @ c.T).argmax(axis=1)
-                    rows = []
-                    for g in np.unique(cell):
-                        grp = x[cell == g]
-                        rows.append((int(g), len(grp), grp.sum(axis=0).tolist()))
-                    yield pd.DataFrame(rows, columns=["cell", "cnt", "vsum"])
-
-            parts = train.mapInPandas(partial_sums, schema=schema).collect()
-            sums = np.zeros_like(centroids)
-            counts = np.zeros(_IVF_K)
-            for r in parts:
-                sums[r["cell"]] += np.asarray(r["vsum"])
-                counts[r["cell"]] += r["cnt"]
-            nonempty = counts > 0
-            centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
-            centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
-    finally:
-        train.unpersist()
-    return centroids
 
 
 def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
