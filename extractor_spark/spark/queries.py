@@ -296,6 +296,40 @@ FROM (
 WHERE rn <= 20
 """
 
+# Corpus phrase statistics: top word bigrams (boilerplate / template-phrase
+# mining).  Explode is per-token and the count aggregates map-side, so the
+# shuffle carries (distinct bigram, partial count) — at 100 TB this is the
+# standard two-level frequency sketch; cap memory by pre-filtering with an
+# approximate frequent-items pass if the bigram space explodes.
+_TOP_BIGRAMS_SPARK = """
+WITH toks AS (
+  SELECT split(trim(text), '\\\\s+') AS w FROM documents
+),
+b AS (
+  SELECT explode(transform(sequence(0, size(w) - 2),
+                           i -> concat_ws(' ', w[i], w[i+1]))) AS bigram
+  FROM toks WHERE size(w) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 100
+"""
+_TOP_BIGRAMS_ORACLE = """
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+b AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM toks WHERE len(w) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 100
+"""
+
 # INTERSECT twin: active in BOTH halves (the other set-op plan shape).
 _SET_OPS_INTERSECT = """
 SELECT user_id FROM events WHERE ts <  TIMESTAMP '2024-07-01 00:00:00'
@@ -1449,6 +1483,7 @@ QUERIES: dict[str, tuple] = {
     "inactive_second_half_users": (_sql(_SET_OPS), _SET_OPS),
     "both_half_users": (_sql(_SET_OPS_INTERSECT), _SET_OPS_INTERSECT),
     "stratified_sample": (_sql(_STRATIFIED_SAMPLE), _STRATIFIED_SAMPLE),
+    "top_bigrams": (_sql(_TOP_BIGRAMS_SPARK), _TOP_BIGRAMS_ORACLE),
     "cust_order_distribution": (_sql(_CUST_ORDER_DIST), _CUST_ORDER_DIST),
     "priority_with_late_items": (_sql(_PRIORITY_WITH_LATE_ITEMS), _PRIORITY_WITH_LATE_ITEMS),
     "orders_status_pivot": (_sql(_ORDERS_PIVOT_SPARK), _ORDERS_PIVOT_ORACLE),

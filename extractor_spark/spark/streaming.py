@@ -46,6 +46,47 @@ def stream_events_hourly(
     )
 
 
+def stream_stream_event_pairs(
+    spark: SparkSession,
+    clicks_dir: str,
+    views_dir: str,
+    watermark: str = "2 hours",
+    join_window: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: click events joined to view events of the
+    SAME user within ``join_window`` after the view — the streaming
+    attribution primitive.  Both sides are watermarked so Spark bounds the
+    join state buffers (a side's rows are dropped once the other side's
+    watermark passes their window); without the time-range condition a
+    stream-stream join would buffer forever.  Batch twin: the
+    events_within_7d_of_order interval join."""
+    def side(d: str, alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(d)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").cast("timestamp").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", watermark)
+        )
+
+    clicks = side(clicks_dir, "click")
+    views = side(views_dir, "view")
+    return clicks.join(
+        views,
+        F.expr(
+            f"""
+            click_user = view_user AND
+            click_ts >= view_ts AND
+            click_ts <= view_ts + INTERVAL {join_window}
+            """
+        ),
+        "inner",
+    )
+
+
 def stream_dedup_events(
     spark: SparkSession, events_dir: str, watermark: str = "1 hour"
 ) -> DataFrame:

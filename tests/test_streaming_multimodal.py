@@ -444,3 +444,61 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     ids = [r[0] for r in got]
     assert len(ids) == len(set(ids)), "a duplicate event_id survived"
     assert set(ids) == {r[0] for r in base.select("event_id").collect()}
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join over static directories must
+    equal the equivalent batch join once drained."""
+    import glob
+    import shutil
+
+    from extractor_spark.spark.streaming import stream_stream_event_pairs
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    base = spark.read.schema(schema).parquet("/root/testdata/sf0.001/events.parquet")
+    clicks_src = base.filter("event_type = 'click'").limit(400)
+    views_src = base.filter("event_type = 'view'").limit(400)
+
+    dirs = {}
+    for name, chunk in (("clicks", clicks_src), ("views", views_src)):
+        d = tmp_path / name
+        d.mkdir()
+        scratch = str(tmp_path / f"scratch_{name}")
+        chunk.coalesce(1).write.parquet(scratch)
+        (part,) = glob.glob(f"{scratch}/part-*.parquet")
+        shutil.copy(part, str(d / "data.parquet"))
+        dirs[name] = str(d)
+
+    joined = stream_stream_event_pairs(spark, dirs["clicks"], dirs["views"])
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        tuple(r)
+        for r in spark.sql("SELECT click_id, view_id FROM ss_join_out").collect()
+    }
+
+    clicks_src.createOrReplaceTempView("b_clicks")
+    views_src.createOrReplaceTempView("b_views")
+    want = {
+        tuple(r)
+        for r in spark.sql(
+            """
+            SELECT c.event_id AS click_id, v.event_id AS view_id
+            FROM b_clicks c JOIN b_views v
+              ON c.user_id = v.user_id
+             AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+            """
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0, "batch twin produced no pairs — test data too thin"
