@@ -330,6 +330,37 @@ ORDER BY n DESC, bigram ASC
 LIMIT 100
 """
 
+# Salted two-stage aggregation: events has only a handful of event_type
+# values, the canonical heavy-hitter skew shape — a direct groupBy sends
+# each type's whole volume to one reducer.  Stage 1 groups by (type, salt)
+# over 16 hash salts (uniform fan-out), stage 2 merges the 16 partials per
+# type.  Results are identical to the plain aggregate (the DuckDB oracle),
+# which is the point: salting is a physical rewrite.  (Spark's own
+# map-side partial aggregation usually hides this for count/sum; the salted
+# form is what survives when stage 1 is a high-cardinality state op —
+# collect_set, percentile — where map-side combine can't crush the key.)
+_SALTED_AGG_SPARK = """
+WITH salted AS (
+  SELECT event_type, pmod(xxhash64(event_id), 16) AS salt,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+partials AS (
+  SELECT event_type, salt, count(*) AS n, sum(cents) AS c
+  FROM salted GROUP BY event_type, salt
+)
+SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(c) AS BIGINT) AS value_cents
+FROM partials GROUP BY event_type
+ORDER BY event_type
+"""
+_SALTED_AGG_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+ORDER BY event_type
+"""
+
 # INTERSECT twin: active in BOTH halves (the other set-op plan shape).
 _SET_OPS_INTERSECT = """
 SELECT user_id FROM events WHERE ts <  TIMESTAMP '2024-07-01 00:00:00'
@@ -1484,6 +1515,7 @@ QUERIES: dict[str, tuple] = {
     "both_half_users": (_sql(_SET_OPS_INTERSECT), _SET_OPS_INTERSECT),
     "stratified_sample": (_sql(_STRATIFIED_SAMPLE), _STRATIFIED_SAMPLE),
     "top_bigrams": (_sql(_TOP_BIGRAMS_SPARK), _TOP_BIGRAMS_ORACLE),
+    "salted_event_totals": (_sql(_SALTED_AGG_SPARK), _SALTED_AGG_ORACLE),
     "cust_order_distribution": (_sql(_CUST_ORDER_DIST), _CUST_ORDER_DIST),
     "priority_with_late_items": (_sql(_PRIORITY_WITH_LATE_ITEMS), _PRIORITY_WITH_LATE_ITEMS),
     "orders_status_pivot": (_sql(_ORDERS_PIVOT_SPARK), _ORDERS_PIVOT_ORACLE),
