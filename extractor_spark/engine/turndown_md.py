@@ -82,13 +82,16 @@ def _has_descendant_in(el: Element, tags: frozenset) -> bool:
     return False
 
 
+_VOID_OR_MEANINGFUL = VOID_ELEMENTS | MEANINGFUL_WHEN_BLANK
+
+
 def _is_blank(el: Element, text_content: str) -> bool:
+    # single fused subtree walk: no descendant in EITHER set ≡ no descendant
+    # in the union
     return (
-        el.tag not in VOID_ELEMENTS
-        and el.tag not in MEANINGFUL_WHEN_BLANK
+        el.tag not in _VOID_OR_MEANINGFUL
         and _JS_WS_ONLY_RE.match(text_content) is not None
-        and not _has_descendant_in(el, VOID_ELEMENTS)
-        and not _has_descendant_in(el, MEANINGFUL_WHEN_BLANK)
+        and not _has_descendant_in(el, _VOID_OR_MEANINGFUL)
     )
 
 
