@@ -361,6 +361,31 @@ FROM events GROUP BY event_type
 ORDER BY event_type
 """
 
+# Semi-structured column: events.props is a JSON string; extract a typed
+# field and aggregate.  Spark side uses get_json_object (JVM-side Jayway
+# path eval — for repeated access at scale, from_json to a struct column
+# once and prune); oracle uses DuckDB's json_extract_string.
+_JSON_PROPS_SPARK = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+_JSON_PROPS_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 # INTERSECT twin: active in BOTH halves (the other set-op plan shape).
 _SET_OPS_INTERSECT = """
 SELECT user_id FROM events WHERE ts <  TIMESTAMP '2024-07-01 00:00:00'
@@ -1516,6 +1541,7 @@ QUERIES: dict[str, tuple] = {
     "stratified_sample": (_sql(_STRATIFIED_SAMPLE), _STRATIFIED_SAMPLE),
     "top_bigrams": (_sql(_TOP_BIGRAMS_SPARK), _TOP_BIGRAMS_ORACLE),
     "salted_event_totals": (_sql(_SALTED_AGG_SPARK), _SALTED_AGG_ORACLE),
+    "props_k_stats": (_sql(_JSON_PROPS_SPARK), _JSON_PROPS_ORACLE),
     "cust_order_distribution": (_sql(_CUST_ORDER_DIST), _CUST_ORDER_DIST),
     "priority_with_late_items": (_sql(_PRIORITY_WITH_LATE_ITEMS), _PRIORITY_WITH_LATE_ITEMS),
     "orders_status_pivot": (_sql(_ORDERS_PIVOT_SPARK), _ORDERS_PIVOT_ORACLE),
