@@ -459,6 +459,16 @@ FROM documents
 GROUP BY CUBE(lang, source)
 """
 
+# Explicit GROUPING SETS (the general form ROLLUP/CUBE desugar to) — an
+# asymmetric set selection neither ROLLUP nor CUBE can express: per-lang,
+# per-(lang, source), and the grand total, but NOT per-source.
+_DOCS_GROUPING_SETS = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang), (lang, source), ())
+"""
+
 # Running window aggregate per user (value scaled to exact integer cents).
 _RUNNING_VALUE = """
 SELECT user_id, event_id,
@@ -1547,6 +1557,7 @@ QUERIES: dict[str, tuple] = {
     "orders_status_pivot": (_sql(_ORDERS_PIVOT_SPARK), _ORDERS_PIVOT_ORACLE),
     "docs_rollup": (_sql(_DOCS_ROLLUP), _DOCS_ROLLUP),
     "docs_cube": (_sql(_DOCS_CUBE), _DOCS_CUBE),
+    "docs_grouping_sets": (_sql(_DOCS_GROUPING_SETS), _DOCS_GROUPING_SETS),
     "running_value_per_user": (_sql(_RUNNING_VALUE), _RUNNING_VALUE),
     "events_hourly": (_sql(_EVENTS_HOURLY_SPARK), _EVENTS_HOURLY_ORACLE),
     "user_sessions": (_sql(_SESSIONS_SPARK), _SESSIONS_ORACLE),
