@@ -57,3 +57,39 @@ def test_curate_cli(spark, tmp_path):
     # reuse the session: get_spark returns the active one
     rc = cli.main(["--input", inp, "--output", str(tmp_path / "c2"), "--cpus", "4"])
     assert rc == 0
+
+
+def test_curate_template_families_collapse(spark, tmp_path):
+    """Hot-bucket regime: three template families of 40 near-identical docs
+    each (tiny per-doc mutations, Jaccard >> 0.8 pairwise) plus 5 unique
+    docs.  The star-per-bucket candidate topology must still collapse each
+    family to exactly ONE canonical doc — the property the all-pairs ->
+    star trade is allowed to rely on (true near-dup families verify through
+    their bucket hubs)."""
+    from extractor_spark.spark.curate import curate
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = []
+    for fam in range(3):
+        base = " ".join(words[fam:] + words[:fam]) * 4  # 80 tokens per doc
+        for i in range(40):
+            # one-token mutation per doc keeps pairwise jaccard >= 0.9
+            text = base + f" tail{fam}"
+            if i:
+                text = text.replace(words[(fam + i) % 20], f"mut{fam}_{i}", 1)
+            rows.append(
+                {"url": f"https://t.test/f{fam}/d{i:02d}", "markdown": text, "text": text}
+            )
+    for u in range(5):
+        text = f"document {u} " + " ".join(f"unique{u}w{j}" for j in range(30))
+        rows.append({"url": f"https://t.test/u{u}", "markdown": text, "text": text})
+
+    inp = str(tmp_path / "extract_out")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(inp)
+    stats = curate(spark, inp, str(tmp_path / "curated"), min_tokens=5)
+
+    assert stats["input_docs"] == 125
+    assert stats["after_exact_dedup"] == 125          # all distinct texts
+    assert stats["after_neardup_dedup"] == 3 + 5      # one per family + uniques
+    assert stats["after_quality_filter"] == 8
