@@ -46,7 +46,13 @@ def train_centroids(
 
     train = emb.select("embedding").sample(fraction=train_fraction, seed=seed).persist()
     try:
-        dim = len(train.first()["embedding"])
+        head = train.first()
+        if head is None:
+            raise ValueError(
+                "no training vectors: embeddings input is empty (or the "
+                f"seeded sample at fraction={train_fraction} drew zero rows)"
+            )
+        dim = len(head["embedding"])
         rng = np.random.default_rng(seed)
         centroids = rng.standard_normal((k, dim))
         centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
@@ -128,8 +134,16 @@ def build_index(
 
     with open(os.path.join(out_path, CENTROIDS_FILE), "w") as f:
         json.dump({"k": k, "centroids": centroids.tolist()}, f)
-    idx = spark.read.parquet(out_path)
-    return {"cells": idx.select("cell").distinct().count(), "rows": idx.count()}
+    # one read-back scan for both stats (not one per stat)
+    stats = (
+        spark.read.parquet(out_path)
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("cell").alias("cells"),
+        )
+        .first()
+    )
+    return {"cells": stats["cells"], "rows": stats["rows"]}
 
 
 def load_centroids(index_path: str):
@@ -154,7 +168,13 @@ def search(
 
     centroids = load_centroids(index_path)
     q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / np.linalg.norm(q)
+    q_norm = float(np.linalg.norm(q))
+    if q_norm == 0.0:
+        raise ValueError(
+            "zero-norm query vector: cosine similarity is undefined "
+            "(probe selection and scores would be NaN)"
+        )
+    qn = q / q_norm
     probes = [int(p) for p in np.argsort(-(centroids @ qn))[:nprobe]]
 
     idx = spark.read.parquet(index_path).where(F.col("cell").isin(probes))
@@ -175,7 +195,7 @@ def search(
             lambda acc, v: acc + v.cast("double") * v.cast("double"),
         )
     )
-    cos = F.round(dot / (norm_e * F.lit(float(np.linalg.norm(q)))), 4).cast("double")
+    cos = F.round(dot / (norm_e * F.lit(q_norm)), 4).cast("double")
     return (
         idx.select("vec_id", cos.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())

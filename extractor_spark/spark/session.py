@@ -18,6 +18,18 @@ from pyspark.sql import SparkSession
 DEFAULT_ARROW_BATCH_ROWS = 256
 
 
+def _default_driver_memory() -> str:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(4, min(24, total_gb // 5))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def get_spark(
     app_name: str = "extractor_spark",
     cpus: int | None = None,
@@ -43,11 +55,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.ui.enabled", "false")
         # local mode: the driver JVM hosts every executor thread plus all
-        # cached/checkpointed blocks; on this 128 GiB box 8g caused
-        # GCLocker-retry task aborts at the tail of long benches (32 threads
-        # allocating under a nearly-full heap).  24g leaves >90 GiB for the
-        # 32 Arrow-fed Python workers.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # cached/checkpointed blocks; a fixed 8g caused GCLocker-retry task
+        # aborts at the tail of long benches on the 128 GiB box (32 threads
+        # allocating under a nearly-full heap).  Size to ~1/5 of host RAM,
+        # clamped to [4g, 24g], so smaller machines aren't handed an -Xmx
+        # beyond physical memory; override via SPARK_DRIVER_MEMORY.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY") or _default_driver_memory())
     )
     # Shuffle/spill on the RAM disk when one exists (memory-rich local node;
     # overridable via SPARK_LOCAL_DIRS) — avoids disk-latency noise.

@@ -62,6 +62,7 @@ def main(argv=None) -> int:
         q = emb.where(emb.vec_id == args.query_vec_id).first()
         if q is None:
             print(json.dumps({"error": f"vec_id {args.query_vec_id} not found"}))
+            spark.stop()
             return 1
         hits = search(
             spark,

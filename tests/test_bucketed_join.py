@@ -48,6 +48,7 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
             .saveAsTable("bucketed_test.orders_b")
         )
         # force the shuffle-elision decision to be structural, not size-based
+        prior_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             bucketed = spark.sql(
@@ -65,6 +66,6 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
                 map(tuple, plain.collect())
             )
         finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_threshold)
     finally:
         spark.sql("DROP DATABASE IF EXISTS bucketed_test CASCADE")
