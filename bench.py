@@ -124,6 +124,9 @@ def main() -> None:
         "dedup_clusters_star",
         "knn_join",
         "cust_order_distribution",
+        "top_bigrams",
+        "stratified_sample",
+        "props_k_stats",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

@@ -1,0 +1,69 @@
+"""The full production path in one test: WARC crawl archives → extract
+pipeline (convert + dedup + bucketed write + manifest) → curation funnel
+(exact dedup → MinHash near-dup clusters → quality filter) → JSONL export.
+
+Every stage is individually tested elsewhere; this pins that they COMPOSE —
+the schema each stage emits is the schema the next one reads."""
+
+import datetime
+import json
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+def test_warc_to_curated_jsonl(spark, tmp_path):
+    from extractor_spark.engine.warc import build_warc
+    from extractor_spark.spark.curate import curate
+    from extractor_spark.spark.pipeline import PipelineConfig, run_pipeline
+    from extractor_spark.spark.synth import synth_page_html
+
+    # 2 archives × 100 pages, with the last 20 urls of archive 1 re-crawled
+    # in archive 2 (later warc_ts must win via latest-per-url dedup)
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    t1 = datetime.datetime(2024, 1, 1)
+    t2 = datetime.datetime(2024, 2, 1)
+    arch1 = [
+        (f"https://w.test/p/{i}", t1, synth_page_html(i, i % 3).encode())
+        for i in range(100)
+    ]
+    arch2 = [
+        (f"https://w.test/p/{i}", t2, synth_page_html(i + 1000, i % 3).encode())
+        for i in range(80, 180)
+    ]
+    (warc_dir / "a1.warc").write_bytes(build_warc(arch1))
+    (warc_dir / "a2.warc").write_bytes(build_warc(arch2))
+
+    out = str(tmp_path / "extract_out")
+    summary = run_pipeline(
+        spark,
+        PipelineConfig(
+            pages_path=str(warc_dir),
+            output_path=out,
+            pages_format="warc",
+            n_buckets=8,
+            resume=False,
+        ),
+    )
+    assert summary["docs"] == 180  # 200 records, 20 urls re-crawled
+    assert summary["convert_failures"] == 0
+
+    # the re-crawled urls must carry archive 2's content (later warc_ts)
+    rows = spark.read.parquet(out)
+    recrawled = rows.filter("url = 'https://w.test/p/90'").collect()
+    assert len(recrawled) == 1
+    assert recrawled[0]["warc_ts"] == t2
+
+    curated = str(tmp_path / "curated")
+    stats = curate(spark, out, curated, min_tokens=5)
+    assert stats["input_docs"] == 180
+    assert stats["after_quality_filter"] > 0
+
+    kept = []
+    for f in (tmp_path / "curated").glob("*.json"):
+        kept += [json.loads(l) for l in f.read_text().splitlines()]
+    assert len(kept) == stats["after_quality_filter"]
+    assert all(k["url"].startswith("https://w.test/p/") for k in kept)
+    assert all(k["text"] for k in kept)
