@@ -24,11 +24,21 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+_PAGES_JSONL_SCHEMA = (
+    "url string, warc_ts timestamp, html string, text string, lang string"
+)
+
+
 def read_pages(spark: SparkSession, location: str, fmt: str = "parquet") -> DataFrame:
-    """Read the pages table.  ``location`` is a path (parquet) or a catalog
-    table identifier (iceberg)."""
+    """Read the pages table.  ``location`` is a path (parquet/jsonl) or a
+    catalog table identifier (iceberg).  ``jsonl`` covers the common
+    crawl-dump interchange shape (one JSON object per line, html as a
+    string); the schema is given explicitly so malformed lines become null
+    rows instead of triggering a schema-inference pass over the corpus."""
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(location)
+    if fmt == "jsonl":
+        return spark.read.schema(_PAGES_JSONL_SCHEMA).json(location)
     return spark.read.parquet(location)
 
 

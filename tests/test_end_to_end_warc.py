@@ -67,3 +67,32 @@ def test_warc_to_curated_jsonl(spark, tmp_path):
     assert len(kept) == stats["after_quality_filter"]
     assert all(k["url"].startswith("https://w.test/p/") for k in kept)
     assert all(k["text"] for k in kept)
+
+
+def test_jsonl_pages_source(spark, tmp_path):
+    """JSONL crawl-dump input drives the same pipeline: write pages as
+    one-object-per-line JSON, run with pages_format='jsonl', same docs out."""
+    from extractor_spark.spark.pipeline import PipelineConfig, run_pipeline
+    from extractor_spark.spark.synth import build_pages_df
+
+    pages = build_pages_df(spark, 60, include_fixtures=False, dup_every=0)
+    src = str(tmp_path / "pages_jsonl")
+    pages.selectExpr(
+        "url", "warc_ts", "CAST(html AS STRING) AS html", "text", "lang"
+    ).write.json(src)
+
+    out = str(tmp_path / "out")
+    summary = run_pipeline(
+        spark,
+        PipelineConfig(
+            pages_path=src,
+            output_path=out,
+            pages_format="jsonl",
+            n_buckets=4,
+            resume=False,
+        ),
+    )
+    assert summary["docs"] == 60
+    assert summary["convert_failures"] == 0
+    got = spark.read.parquet(out)
+    assert got.filter("markdown IS NOT NULL").count() == 60
