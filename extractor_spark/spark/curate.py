@@ -99,15 +99,17 @@ WHERE n_common / (n_total - n_common) >= {threshold}
 """
 
 
-def _components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Min-label connected components over (u1, u2) pairs; returns
-    (url, cluster_id) via the shared Pregel-lite helper (url strings —
-    min() orders lexicographically)."""
-    from extractor_spark.spark.graph import min_label_components
+def _components(docs: DataFrame, pairs: DataFrame, algorithm: str) -> DataFrame:
+    """Connected components over (u1, u2) pairs; returns (url, cluster_id)
+    via the shared graph helpers (url strings — min() orders
+    lexicographically).  ``minlabel`` converges in rounds ∝ cluster
+    diameter (near-dup clusters are quasi-cliques: 2-4 rounds);
+    ``star`` (alternating large/small-star) is the O(log diameter)
+    variant for corpora with long near-dup chains."""
+    from extractor_spark.spark.graph import min_label_components, star_components
 
-    return min_label_components(
-        docs, pairs.selectExpr("u1 AS src", "u2 AS dst"), "url"
-    )
+    algo = {"minlabel": min_label_components, "star": star_components}[algorithm]
+    return algo(docs, pairs.selectExpr("u1 AS src", "u2 AS dst"), "url")
 
 
 def curate(
@@ -117,6 +119,7 @@ def curate(
     min_tokens: int = 10,
     max_dup_permille: int = 300,
     jaccard_threshold: float = 0.8,
+    components: str = "minlabel",
 ) -> dict:
     """Run the curation funnel over an extract-pipeline output table;
     returns per-stage counts."""
@@ -152,7 +155,7 @@ def curate(
     bands.createOrReplaceTempView("curate_bands")
     ckpt_handles += caches.checkpoint_handles_since(sc, before)
     pairs = spark.sql(_VERIFIED_PAIRS_TMPL.format(threshold=jaccard_threshold))
-    labels = _components(docs, pairs)
+    labels = _components(docs, pairs, components)
     wc = Window.partitionBy("cluster_id").orderBy(
         F.length("text").desc(), F.col("url").asc()
     )

@@ -3,7 +3,7 @@
 MinHash near-dup clustering -> quality filter -> JSONL export.
 
     python jobs/curate.py --input /data/extract_out --output /data/curated \
-        [--min-tokens 10] [--max-dup-permille 300] [--jaccard 0.8]
+        [--min-tokens 10] [--max-dup-permille 300] [--jaccard 0.8] [--components star]
 """
 
 from __future__ import annotations
@@ -23,6 +23,8 @@ def main(argv=None) -> int:
     p.add_argument("--min-tokens", type=int, default=10)
     p.add_argument("--max-dup-permille", type=int, default=300)
     p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--components", choices=["minlabel", "star"], default="minlabel",
+                   help="connected-components algorithm: minlabel (rounds ~ diameter) or star (log-diameter, for long near-dup chains)")
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--from-submit", action="store_true")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
@@ -45,6 +47,7 @@ def main(argv=None) -> int:
         min_tokens=args.min_tokens,
         max_dup_permille=args.max_dup_permille,
         jaccard_threshold=args.jaccard,
+        components=args.components,
     )
     print(json.dumps(stats))
     return 0
