@@ -94,14 +94,16 @@ def convert_stage(
         prev_url = None
         for pdf in batches:
             if dedup_sorted_runs:
-                urls_in = pdf["url"].tolist()
-                keep = []
-                for i, u in enumerate(urls_in):
-                    if u != prev_url:
-                        keep.append(i)
-                        prev_url = u
-                if len(keep) != len(pdf):
-                    pdf = pdf.iloc[keep]
+                if not len(pdf):
+                    continue
+                urls_s = pdf["url"]
+                # vectorized run-boundary mask; first row compares against
+                # the previous Arrow batch's last kept url
+                mask = urls_s.ne(urls_s.shift())
+                mask.iat[0] = urls_s.iat[0] != prev_url
+                prev_url = urls_s.iat[-1]
+                if not mask.all():
+                    pdf = pdf[mask]
                 if not len(pdf):
                     continue
             n = len(pdf)
