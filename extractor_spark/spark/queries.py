@@ -1385,17 +1385,9 @@ def _ivf_centroids(spark: SparkSession) -> "object":
     )
 
 
-def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    _views(spark, sf_dir)
-    centroids = _ivf_centroids(spark)
-
-    query = spark.sql("SELECT embedding FROM embeddings WHERE vec_id = 0").first()
-    q = np.asarray(query["embedding"], dtype=np.float64)
-    qn = q / np.linalg.norm(q)
-    probe_cells = np.argsort(-(centroids @ qn))[:_IVF_NPROBE].tolist()
-
+def _ivf_assign_cells(spark: SparkSession, centroids) -> DataFrame:
+    """(vec_id, cell) for every embedding: nearest-centroid assignment as
+    one numpy GEMM per Arrow batch (shared by ivf_topk and semantic_dedup)."""
     c = centroids
 
     def assign(batches, c=c):
@@ -1411,9 +1403,23 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"vec_id": pdf["vec_id"], "cell": (xn @ c.T).argmax(axis=1).astype("int32")}
             )
 
-    cells = spark.table("embeddings").select("vec_id", "embedding").mapInPandas(
+    return spark.table("embeddings").select("vec_id", "embedding").mapInPandas(
         assign, schema="vec_id bigint, cell int"
     )
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    _views(spark, sf_dir)
+    centroids = _ivf_centroids(spark)
+
+    query = spark.sql("SELECT embedding FROM embeddings WHERE vec_id = 0").first()
+    q = np.asarray(query["embedding"], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe_cells = np.argsort(-(centroids @ qn))[:_IVF_NPROBE].tolist()
+
+    cells = _ivf_assign_cells(spark, centroids)
     cells.createOrReplaceTempView("ivf_cells")
     q_lit = "array(" + ", ".join(f"{v}D" for v in q.tolist()) + ")"
     return spark.sql(f"""
@@ -1436,6 +1442,56 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Arrow moves each group's vectors into one numpy stack; the aggregation is
 # a single np.mean.  Oracle: DuckDB per-dimension avg via unnest WITH
 # ORDINALITY (values rounded once at the boundary, like cosine).
+# SemDeDup-shaped semantic dedup (Abbas et al. 2023, public): embeddings
+# are blocked by the IVF coarse quantizer's cells, exact cosine runs only
+# WITHIN each cell (the self-join key is the cell id, so candidate volume
+# is ∑ cell² instead of n² — the quantizer is the LSH-analog blocking
+# structure for dense vectors), near-dups (cos ≥ threshold) are clustered
+# by connected components, and each cluster keeps its min vec_id as the
+# canonical representative.  Output: (vec_id, cluster_id, kept).  Rows-only
+# (k-means cells are not SQL-expressible); pytest gates soundness — every
+# removed vector is within threshold of a kept one — and cross-checks
+# in-cell near-dup pairs against the oracled exact embedding_cosine_dups.
+_SEMDEDUP_THRESHOLD = 0.45  # the corpus's near-dup regime (isotropic test
+# embeddings have no 0.9-cosine pairs; production uses 0.9+)
+_SEMDEDUP_PAIRS = """
+SELECT a.vec_id AS src, b.vec_id AS dst
+FROM embeddings a
+JOIN ivf_cells ca ON ca.vec_id = a.vec_id
+JOIN ivf_cells cb ON cb.cell = ca.cell
+JOIN embeddings b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+WHERE aggregate(zip_with(a.embedding, b.embedding,
+                         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                0D, (acc, v) -> acc + v)
+      / (sqrt(aggregate(a.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+         * sqrt(aggregate(b.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+      >= {threshold}
+"""
+
+
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from extractor_spark.spark.graph import min_label_components
+
+    _views(spark, sf_dir)
+    centroids = _ivf_centroids(spark)
+    sc = spark.sparkContext
+    before = caches.persistent_ids(sc)
+    cells = _ivf_assign_cells(spark, centroids).localCheckpoint()
+    cells.createOrReplaceTempView("ivf_cells")
+    for h in caches.checkpoint_handles_since(sc, before):
+        caches.register(h)
+
+    pairs = spark.sql(_SEMDEDUP_PAIRS.format(threshold=_SEMDEDUP_THRESHOLD))
+    labels = min_label_components(spark.table("embeddings"), pairs, "vec_id")
+    return labels.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("vec_id") == F.col("cluster_id")).alias("kept"),
+    )
+
+
 _MEAN_EMB_ORACLE = """
 WITH joined AS (
   SELECT d.lang, CAST(e.embedding AS DOUBLE[]) AS emb
@@ -1588,6 +1644,7 @@ QUERIES: dict[str, tuple] = {
     "lsh_cosine_candidate_pairs": (_lsh_cosine_candidate_pairs, None),
     "lsh_cosine_pairs_strong": (_lsh_cosine_pairs_strong, None),
     "ivf_topk": (_ivf_topk, None),
+    "semantic_dedup": (_semantic_dedup, None),
     "mean_embedding_per_lang": (_mean_embedding_per_lang, _MEAN_EMB_ORACLE),
     "markdown_sections": (_markdown_sections, None),
 }

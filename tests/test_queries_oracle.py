@@ -366,3 +366,56 @@ def test_session_boundary_exactly_gap(spark):
     }
     assert comp == native
     assert sorted(n for (_, _, _, n) in comp) == [1, 2]
+
+
+def test_semantic_dedup_soundness(spark):
+    """SemDeDup gates: (1) kept = exactly the cluster minima; (2) every
+    in-cell exact near-dup pair (from the oracled embedding_cosine_dups)
+    lands in one cluster — the blocking structure loses only cross-cell
+    pairs, which is the documented IVF trade; (3) deterministic."""
+    from extractor_spark.spark.queries import release_query_caches
+
+    rows = ALL_QUERIES["semantic_dedup"](spark, SF_DIR).collect()
+    release_query_caches()
+    labels = {r["vec_id"]: r["cluster_id"] for r in rows}
+    kept = {r["vec_id"] for r in rows if r["kept"]}
+    assert kept == {min(g) for g in _groups(labels).values()}
+
+    # cluster ids ARE the component minima
+    for vid, cid in labels.items():
+        assert cid <= vid
+
+    exact_pairs = {
+        (r["v1"], r["v2"])
+        for r in ALL_QUERIES["embedding_cosine_dups"](spark, SF_DIR).collect()
+    }
+    # pairs the blocking kept (same cell) must be co-clustered; recompute
+    # the cells exactly like the query does (deterministic seeded k-means)
+    from extractor_spark.spark.queries import (
+        _ivf_assign_cells,
+        _ivf_centroids,
+        _views,
+    )
+
+    _views(spark, SF_DIR)
+    cents = _ivf_centroids(spark)
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in _ivf_assign_cells(spark, cents).collect()
+    }
+    in_cell = [(a, b) for a, b in exact_pairs if cell_of[a] == cell_of[b]]
+    assert in_cell, "blocking kept no exact pair — gate would be vacuous"
+    for a, b in in_cell:
+        assert labels[a] == labels[b], f"in-cell near-dups {a},{b} not co-clustered"
+
+    # determinism
+    rows2 = ALL_QUERIES["semantic_dedup"](spark, SF_DIR).collect()
+    release_query_caches()
+    assert {tuple(r) for r in rows2} == {tuple(r) for r in rows}
+
+
+def _groups(labels):
+    groups = {}
+    for vid, cid in labels.items():
+        groups.setdefault(cid, set()).add(vid)
+    return groups
