@@ -141,6 +141,7 @@ def main() -> None:
         "top_bigrams",
         "stratified_sample",
         "props_k_stats",
+        "semantic_dedup",
     ]
     from extractor_spark.spark.queries import release_query_caches
 
