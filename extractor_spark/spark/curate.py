@@ -154,7 +154,17 @@ def curate(
     bands = spark.sql(_BANDS_SQL).localCheckpoint()
     bands.createOrReplaceTempView("curate_bands")
     ckpt_handles += caches.checkpoint_handles_since(sc, before)
-    pairs = spark.sql(_VERIFIED_PAIRS_TMPL.format(threshold=jaccard_threshold))
+    # materialize the verified pairs before the CC loop: the verify join is
+    # the funnel's most expensive plan, and leaving it lazy re-plans it
+    # inside the first label-propagation round's edges materialization —
+    # measured 3-5x timing instability at 100k docs (AQE re-plans under a
+    # different runtime-stats context); checkpointed it is a stable ~9 s
+    # stage and the CC rounds join a small materialized edge table.
+    before = caches.persistent_ids(sc)
+    pairs = spark.sql(
+        _VERIFIED_PAIRS_TMPL.format(threshold=jaccard_threshold)
+    ).localCheckpoint()
+    ckpt_handles += caches.checkpoint_handles_since(sc, before)
     labels = _components(docs, pairs, components)
     wc = Window.partitionBy("cluster_id").orderBy(
         F.length("text").desc(), F.col("url").asc()
