@@ -80,6 +80,11 @@ class PipelineConfig:
     context_path: str | None = None  # optional (url, context_json) side table
     custom_prompt: str | None = None
     max_input_tokens: float | None = None
+    # Opt-in: rewrite url to engine.urlnorm.canonical_url BEFORE bucketing,
+    # so spelling variants (host case, fragments, default ports, tracking
+    # params, unsorted query) share a bucket and dedup to one row.  Off by
+    # default — it changes the output url column to the canonical form.
+    canonicalize_urls: bool = False
 
     def resolved_manifest_path(self) -> str:
         return self.manifest_path or os.path.join(self.output_path, "_manifest")
@@ -94,6 +99,22 @@ def dedup_latest_per_url(pages: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def with_canonical_urls(pages: DataFrame) -> DataFrame:
+    """Rewrite ``url`` to its canonical spelling (Arrow-vectorized batches;
+    the per-url work is a pure string function)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit SCALAR form: hint inference can't resolve pd.Series under
+    # `from __future__ import annotations` without a module-level pandas
+    @pandas_udf("string", PandasUDFType.SCALAR)
+    def _canon(urls):
+        from extractor_spark.engine.urlnorm import canonical_url
+
+        return urls.map(canonical_url)
+
+    return pages.withColumn("url", _canon("url"))
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -223,7 +244,10 @@ def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
     manifest_path = conf.resolved_manifest_path()
     run_id = uuid.uuid4().hex[:12]
 
-    pages_all = with_bucket(_read_pages(spark, conf), conf.n_buckets)
+    pages_raw = _read_pages(spark, conf)
+    if conf.canonicalize_urls:
+        pages_raw = with_canonical_urls(pages_raw)
+    pages_all = with_bucket(pages_raw, conf.n_buckets)
 
     skipped_buckets = 0
     done: list[int] = []

@@ -31,8 +31,13 @@ def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pages", required=True, help="input pages table (parquet dir)")
     p.add_argument("--pages-format", default="parquet",
-                   choices=["parquet", "iceberg", "warc"],
-                   help="input format; 'warc' ingests .warc/.warc.gz crawl archives")
+                   choices=["parquet", "iceberg", "warc", "jsonl"],
+                   help="input format; 'warc' ingests .warc/.warc.gz crawl "
+                        "archives, 'jsonl' one-object-per-line dumps")
+    p.add_argument("--canonicalize-urls", action="store_true",
+                   help="rewrite urls to canonical form before bucketing so "
+                        "spelling variants (fragments, tracking params, host "
+                        "case) dedup to one row")
     p.add_argument("--output", required=True, help="output table path")
     p.add_argument("--manifest", default=None, help="manifest path (default <output>/_manifest)")
     p.add_argument("--schema", default=None, help="extraction schema JSON file; omit for convert-only")
@@ -100,6 +105,7 @@ def main(argv=None) -> int:
         context_path=args.context,
         custom_prompt=args.prompt,
         max_input_tokens=args.max_input_tokens,
+        canonicalize_urls=args.canonicalize_urls,
     )
     if args.warmup:
         from extractor_spark.spark.pipeline import warmup
