@@ -1,0 +1,346 @@
+"""PDF text/layout extraction (engine/pdf.py) + deterministic writer.
+
+The reference has no PDF analog (north_rule names "PDF/layout parse"
+directly); correctness is defined against the public PDF spec.  Two test
+families:
+
+1. writer→parser roundtrips over the writer's layout contract (unicode,
+   blank lines, wrapping, multi-page);
+2. hand-built PDFs exercising paths the writer never produces — 1-byte
+   WinAnsi fonts, literal strings with escapes, TJ kerning arrays, Tm
+   positioning, two-column layout, object streams, corrupt xref / wrong
+   /Length — so the parser is validated as a general extractor, not just
+   the writer's inverse.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from extractor_spark.engine.pdf import (
+    Name,
+    PdfDocument,
+    Ref,
+    is_pdf,
+    parse_object,
+    pdf_to_pages,
+    pdf_to_text,
+)
+from extractor_spark.engine.pdfwrite import text_to_pdf
+
+
+# ---------------------------------------------------------------------------
+# COS object lexer
+# ---------------------------------------------------------------------------
+
+def test_parse_scalars():
+    assert parse_object(b" 42 ", 0)[0] == 42
+    assert parse_object(b"-3.5", 0)[0] == -3.5
+    assert parse_object(b".5", 0)[0] == 0.5
+    assert parse_object(b"true", 0)[0] is True
+    assert parse_object(b"null", 0)[0] is None
+    assert parse_object(b"/Name#20With#2FEscapes", 0)[0] == Name("Name With/Escapes")
+
+
+def test_parse_literal_string_escapes():
+    obj, _ = parse_object(rb"(a\(b\)c \\ \n\t \101 \0053)", 0)
+    # \101 = 'A'; \005 then literal '3' (3-digit octal max)
+    assert obj == b"a(b)c \\ \n\t A \x053"
+
+
+def test_parse_literal_string_nested_parens_and_continuation():
+    obj, _ = parse_object(b"(outer (inner) tail\\\nnext)", 0)
+    assert obj == b"outer (inner) tailnext"
+
+
+def test_parse_hex_string_odd_padded():
+    assert parse_object(b"<48656C6C6F2>", 0)[0] == b"Hello "
+
+
+def test_parse_dict_array_ref():
+    d, _ = parse_object(b"<< /A [1 2 R 3] /B << /C (x) >> /D 5 0 R >>", 0)
+    assert d["A"] == [Ref(1, 2), 3]
+    assert d["B"]["C"] == b"x"
+    assert d["D"] == Ref(5, 0)
+
+
+def test_comment_skipped():
+    assert parse_object(b"% comment\n 7", 0)[0] == 7
+
+
+# ---------------------------------------------------------------------------
+# Writer → parser roundtrips (layout contract)
+# ---------------------------------------------------------------------------
+
+ROUNDTRIP_CASES = [
+    "hello world",
+    "line one\nline two\nline three",
+    "para one\n\npara two after a blank\n\n\nthree newlines = two blanks",
+    "x\ny\n\nz\nw",
+    "unicode: café über 中文 \U0001f600 end",
+    "tab\tand (parens) and \\backslash\\ and <angle>",
+]
+
+
+@pytest.mark.parametrize("text", ROUNDTRIP_CASES)
+def test_roundtrip_exact(text):
+    assert pdf_to_text(text_to_pdf(text)) == text
+
+
+def test_roundtrip_uncompressed():
+    t = ROUNDTRIP_CASES[2]
+    assert pdf_to_text(text_to_pdf(t, compress=False)) == t
+
+
+def test_roundtrip_boundary_lone_blank_pair_documented():
+    # Documented unrecoverable boundary (_dominant_leading docstring): a
+    # single line pair separated by one blank has only one gap, which reads
+    # as contiguous lines at double leading.
+    assert pdf_to_text(text_to_pdf("a\n\nb")) == "a\nb"
+
+
+def test_wrap_rejoin_identity():
+    t = ("alpha beta gamma delta epsilon " * 50).strip()
+    got = pdf_to_text(text_to_pdf(t, wrap=72)).replace("\n", " ")
+    assert got == t
+
+
+def test_multipage_break_at_line_boundary():
+    t = "\n".join(f"line {i} of the corpus" for i in range(200))
+    pdf = text_to_pdf(t, lines_per_page=48)
+    pages = pdf_to_pages(pdf)
+    assert len(pages) == 5  # ceil(200/48)
+    assert pdf_to_text(pdf) == t
+
+
+def test_glyph_table_reused_across_pages():
+    # same chars on every page -> compact cmap; still roundtrips
+    t = "\n".join("abc abc" for _ in range(100))
+    assert pdf_to_text(text_to_pdf(t, lines_per_page=10)) == t
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                exclude_categories=("Cs", "Cc", "Zl", "Zp"),
+                exclude_characters=" ",
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_wrap_roundtrip_property(words):
+    """Any single-space-joined word sequence survives write→wrap→extract."""
+    t = " ".join(words)
+    got = pdf_to_text(text_to_pdf(t, wrap=24)).replace("\n", " ")
+    assert got == t
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs", "Cc")),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_multiline_roundtrip_property(lines):
+    """Non-blank lines (no blank-line ambiguity) roundtrip exactly."""
+    t = "\n".join(lines)
+    assert pdf_to_text(text_to_pdf(t)) == t
+
+
+# ---------------------------------------------------------------------------
+# Hand-built PDFs: paths the writer never produces
+# ---------------------------------------------------------------------------
+
+def _minimal_pdf(content: bytes, extra_objs: str = "", font: str = "/Type /Font /Subtype /Type1 /BaseFont /Helvetica") -> bytes:
+    """Classic uncompressed 1-byte-font PDF around a raw content stream."""
+    body = f"""%PDF-1.4
+1 0 obj
+<< /Type /Catalog /Pages 2 0 R >>
+endobj
+2 0 obj
+<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>
+endobj
+3 0 obj
+<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>
+endobj
+4 0 obj
+<< /Length {len(content)} >>
+stream
+""".encode("latin-1") + content + f"""
+endstream
+endobj
+5 0 obj
+<< {font} >>
+endobj
+{extra_objs}""".encode("latin-1")
+    # deliberately bogus xref: the loader's brute scan must not need it
+    return body + b"\nxref\n0 1\ntrailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+
+
+def test_simple_font_literal_strings():
+    content = b"BT /F1 12 Tf 14 TL 72 720 Td (Hello, world!) Tj T* (Second line.) Tj ET"
+    assert pdf_to_text(_minimal_pdf(content)) == "Hello, world!\nSecond line."
+
+
+def test_winansi_high_bytes():
+    # 0xE9 = e-acute in cp1252/WinAnsi
+    content = b"BT /F1 12 Tf 72 720 Td (caf\xe9) Tj ET"
+    assert pdf_to_text(_minimal_pdf(content)) == "café"
+
+
+def test_tj_array_kerning_word_gap():
+    # small kerning (-40) is intra-word; large (-250) is an elided space
+    content = b"BT /F1 12 Tf 72 720 Td [(ker) -40 (ned) -250 (gap)] TJ ET"
+    assert pdf_to_text(_minimal_pdf(content)) == "kerned gap"
+
+
+def test_quote_operators_and_leading():
+    content = b"BT /F1 12 Tf 16 TL 72 720 Td (one) Tj (two) ' 0 0 (three) \" ET"
+    assert pdf_to_text(_minimal_pdf(content)) == "one\ntwo\nthree"
+
+
+def test_tm_positioning_orders_lines_by_y():
+    # emitted bottom line first; layout must re-sort by descending y
+    content = (b"BT /F1 12 Tf 1 0 0 1 72 600 Tm (bottom) Tj "
+               b"1 0 0 1 72 700 Tm (top) Tj ET")
+    assert pdf_to_text(_minimal_pdf(content)) == "top\nbottom"
+
+
+def test_adjacent_runs_same_line_gap_space():
+    # two Tj runs on one baseline, second placed with a visible gap
+    content = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (left) Tj "
+               b"1 0 0 1 200 700 Tm (right) Tj ET")
+    assert pdf_to_text(_minimal_pdf(content)) == "left right"
+
+
+def test_two_column_layout_reading_order():
+    # left column x=72, right column x=340; 4 lines each, emitted interleaved
+    ops = [b"BT /F1 10 Tf"]
+    for i in range(4):
+        y = 700 - 12 * i
+        ops.append(b"1 0 0 1 72 %d Tm (L%d) Tj" % (y, i))
+        ops.append(b"1 0 0 1 340 %d Tm (R%d) Tj" % (y, i))
+    ops.append(b"ET")
+    text = pdf_to_text(_minimal_pdf(b" ".join(ops)))
+    assert text == "L0\nL1\nL2\nL3\nR0\nR1\nR2\nR3"
+
+
+def test_single_column_not_split():
+    # normal prose with word gaps must NOT trigger the gutter detector
+    ops = [b"BT /F1 10 Tf"]
+    for i in range(4):
+        ops.append(b"1 0 0 1 72 %d Tm (word%d more text here) Tj" % (700 - 12 * i, i))
+    ops.append(b"ET")
+    assert pdf_to_text(_minimal_pdf(b" ".join(ops))) == "\n".join(
+        f"word{i} more text here" for i in range(4)
+    )
+
+
+def test_wrong_length_falls_back_to_endstream_scan():
+    content = b"BT /F1 12 Tf 72 720 Td (resilient) Tj ET"
+    pdf = _minimal_pdf(content)
+    broken = pdf.replace(f"/Length {len(content)}".encode(), b"/Length 7")
+    assert pdf_to_text(broken) == "resilient"
+
+
+def test_garbage_between_objects_tolerated():
+    content = b"BT /F1 12 Tf 72 720 Td (survives) Tj ET"
+    pdf = _minimal_pdf(content)
+    mangled = pdf.replace(b"endobj\n2 0 obj", b"endobj\n\x00\xff GARBAGE \xfe\n2 0 obj")
+    assert pdf_to_text(mangled) == "survives"
+
+
+def test_truncated_trailer_tolerated():
+    content = b"BT /F1 12 Tf 72 720 Td (no trailer) Tj ET"
+    pdf = _minimal_pdf(content)
+    cut = pdf[: pdf.rindex(b"xref")]
+    assert pdf_to_text(cut) == "no trailer"
+
+
+def test_incremental_update_later_object_wins():
+    content_old = b"BT /F1 12 Tf 72 720 Td (old text) Tj ET"
+    content_new = b"BT /F1 12 Tf 72 720 Td (new text) Tj ET"
+    pdf = _minimal_pdf(content_old)
+    appended = pdf + (
+        f"4 0 obj\n<< /Length {len(content_new)} >>\nstream\n".encode()
+        + content_new
+        + b"\nendstream\nendobj\n"
+    )
+    assert pdf_to_text(appended) == "new text"
+
+
+def test_object_stream_expansion():
+    """Catalog/Pages/Page dicts hidden inside a /Type /ObjStm stream."""
+    inner = (
+        b"<< /Type /Catalog /Pages 2 0 R >>"
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>"
+    )
+    o1 = b"<< /Type /Catalog /Pages 2 0 R >>"
+    o2 = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    header = f"1 0 2 {len(o1)} 3 {len(o1) + len(o2)} ".encode()
+    payload = header + inner
+    objstm = zlib.compress(payload)
+    content = b"BT /F1 12 Tf 72 720 Td (from objstm) Tj ET"
+    pdf = (
+        b"%PDF-1.5\n"
+        + f"9 0 obj\n<< /Type /ObjStm /N 3 /First {len(header)} /Length {len(objstm)} /Filter /FlateDecode >>\nstream\n".encode()
+        + objstm
+        + b"\nendstream\nendobj\n"
+        + f"4 0 obj\n<< /Length {len(content)} >>\nstream\n".encode()
+        + content
+        + b"\nendstream\nendobj\n"
+        + b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert pdf_to_text(pdf) == "from objstm"
+
+
+def test_asciihex_filter():
+    content = b"BT /F1 12 Tf 72 720 Td (hexed) Tj ET"
+    hexed = content.hex().encode() + b">"
+    pdf = _minimal_pdf(b"")  # placeholder; rebuild stream 4 by hand
+    pdf = pdf.replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        f"<< /Length {len(hexed)} /Filter /ASCIIHexDecode >>\nstream\n".encode()
+        + hexed
+        + b"\nendstream",
+    )
+    assert pdf_to_text(pdf) == "hexed"
+
+
+def test_inline_image_skipped():
+    content = (b"BT /F1 12 Tf 72 720 Td (before) Tj ET "
+               b"BI /W 2 /H 2 ID \x00\x01\x02\x03 EI "
+               b"BT /F1 12 Tf 72 700 Td (after) Tj ET")
+    assert pdf_to_text(_minimal_pdf(content)) == "before\nafter"
+
+
+def test_is_pdf_sniff():
+    assert is_pdf(b"%PDF-1.7\nrest")
+    assert is_pdf(b"\xef\xbb\xbfjunk%PDF-1.4")
+    assert not is_pdf(b"PK\x03\x04 not a pdf")
+
+
+def test_empty_and_garbage_inputs_do_not_raise():
+    assert pdf_to_text(b"") == ""
+    assert pdf_to_text(b"%PDF-1.4\ngarbage only") == ""
+    assert pdf_to_pages(b"\x00" * 64) == []
