@@ -211,3 +211,37 @@ def payload_stats(media: DataFrame) -> DataFrame:
         F.length("payload").alias("n_bytes"),
         F.xxhash64("payload").alias("payload_hash"),
     )
+
+
+PDF_TEXT_FIELD = T.StructField("pdf_text", T.StringType(), True)
+
+
+def pdf_text_stage(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """PDF → layout-ordered text over a binary column (Arrow-batched).
+
+    Unlike the image/video stages this one is NOT a stub: engine/pdf.py is
+    a real stdlib-only extractor (north_rule "PDF/layout parse"), so crawl
+    archives carrying application/pdf payloads flow through the same
+    mapInPandas dataflow as HTML.  Non-PDF / unparseable payloads yield
+    null, never an exception — a poisoned document must not fail a 100 TB
+    task."""
+    from ..engine.pdf import is_pdf, pdf_to_text
+
+    out_schema = T.StructType(media.schema.fields + [PDF_TEXT_FIELD])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = []
+            for p in pdf[payload_col].tolist():
+                if p is None or not is_pdf(bytes(p)):
+                    texts.append(None)
+                    continue
+                try:
+                    texts.append(pdf_to_text(bytes(p)))
+                except Exception:
+                    texts.append(None)
+            out = pdf.copy()
+            out["pdf_text"] = texts
+            yield out
+
+    return media.mapInPandas(run, schema=out_schema)

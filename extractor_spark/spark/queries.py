@@ -1589,6 +1589,46 @@ def _markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PDF extraction roundtrip (north_rule: "PDF/layout parse").  Spark renders
+# each document's text into a real PDF (engine/pdfwrite.py: Type0 font,
+# ToUnicode CMap, Flate, word-wrap at 72 cols) and extracts it back with the
+# from-scratch layout parser (engine/pdf.py) inside ONE Arrow-batched
+# mapInPandas crossing; the oracle is the untouched source text, so a hash
+# match certifies byte-identical extracted text per document — the same
+# invariant the north rule demands of the HTML path.  Wrap breaks only at
+# single spaces (the corpus has no space runs), so rejoining with " " is
+# exact.  Scale shape: embarrassingly parallel projection, no shuffle beyond
+# the explicit pre-UDF repartition that defends Python-stage parallelism
+# from AQE coalescing.
+_PDF_ROUNDTRIP_ORACLE = """
+SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
+"""
+
+
+def _pdf_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..engine.pdf import pdf_to_text
+    from ..engine.pdfwrite import text_to_pdf
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+
+    def rt(batches):
+        for b in batches:
+            out = [
+                pdf_to_text(text_to_pdf(t, wrap=72)).replace("\n", " ")
+                for t in b["text"]
+            ]
+            yield pd.DataFrame({"doc_id": b["doc_id"], "extracted_text": out})
+
+    return (
+        docs.repartition(32)  # explicit: CPU-bound Python stage (CLAUDE.md #4)
+        .mapInPandas(rt, "doc_id bigint, extracted_text string")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     "pricing_summary": (_sql(_PRICING_SUMMARY), _PRICING_SUMMARY),
@@ -1647,4 +1687,5 @@ QUERIES: dict[str, tuple] = {
     "semantic_dedup": (_semantic_dedup, None),
     "mean_embedding_per_lang": (_mean_embedding_per_lang, _MEAN_EMB_ORACLE),
     "markdown_sections": (_markdown_sections, None),
+    "pdf_roundtrip_extract": (_pdf_roundtrip_extract, _PDF_ROUNDTRIP_ORACLE),
 }

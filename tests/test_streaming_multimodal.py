@@ -502,3 +502,48 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0, "batch twin produced no pairs — test data too thin"
+
+
+def test_pdf_text_stage_extracts_and_tolerates_non_pdf(spark):
+    import pandas as pd
+
+    from extractor_spark.engine.pdfwrite import text_to_pdf
+    from extractor_spark.spark.multimodal import (
+        MEDIA_SCHEMA,
+        pdf_text_stage,
+        with_sniffed_mime,
+    )
+
+    doc = "Title line\n\nBody paragraph line one.\nBody paragraph line two."
+    rows = [
+        {
+            "media_id": 1,
+            "url": "https://x.test/doc.pdf",
+            "payload": text_to_pdf(doc),
+            "meta": {"content_type": "application/pdf"},
+        },
+        {
+            "media_id": 2,
+            "url": "https://x.test/b.png",
+            "payload": b"\x89PNG\r\n\x1a\nnot-a-pdf",
+            "meta": None,
+        },
+        {
+            "media_id": 3,
+            "url": "https://x.test/broken.pdf",
+            "payload": b"%PDF-1.4\ntruncated garbage",
+            "meta": None,
+        },
+        {"media_id": 4, "url": "https://x.test/null", "payload": None, "meta": None},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+
+    # sniffer routes PDFs (magic already in the JVM-side ladder)
+    sniffed = {r["media_id"]: r["sniffed_mime"] for r in with_sniffed_mime(df).collect()}
+    assert sniffed[1] == "application/pdf"
+
+    out = {r["media_id"]: r["pdf_text"] for r in pdf_text_stage(df).collect()}
+    assert out[1] == doc            # byte-identical layout roundtrip
+    assert out[2] is None           # non-PDF -> null, no exception
+    assert out[3] == ""             # parseable-but-empty PDF -> empty text
+    assert out[4] is None
