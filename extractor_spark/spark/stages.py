@@ -133,10 +133,27 @@ def convert_stage(
                 error = None
                 boiler = None
                 try:
-                    markdown = html_to_markdown(html, opts, url)
-                    boiler = len(html) - len(markdown)
-                    if compute_text:
-                        text = markdown_to_text(markdown)
+                    if isinstance(raw, (bytes, bytearray)) and bytes(
+                        raw
+                    ).lstrip()[:5] == b"%PDF-":
+                        # north_rule "PDF/layout parse": crawl payloads that
+                        # are PDFs route through the layout extractor; the
+                        # markdown column carries the layout-ordered plain
+                        # text (PDF has no markup to preserve), and the text
+                        # projection is whitespace-collapse only — PDF text
+                        # is not markdown, so the positional stripper must
+                        # not touch it.
+                        from extractor_spark.engine.pdf import pdf_to_text
+
+                        markdown = pdf_to_text(bytes(raw))
+                        boiler = len(raw) - len(markdown)
+                        if compute_text:
+                            text = " ".join(markdown.split())
+                    else:
+                        markdown = html_to_markdown(html, opts, url)
+                        boiler = len(html) - len(markdown)
+                        if compute_text:
+                            text = markdown_to_text(markdown)
                 except Exception as exc:  # keep the row, record the failure
                     error = f"{type(exc).__name__}: {exc}"[:500]
                 out["markdown"].append(markdown)

@@ -436,3 +436,45 @@ def test_resume_without_manifest_over_stale_output_fails_loudly(
         ),
     )
     assert summary["docs"] > 0
+
+
+def test_pdf_payloads_route_through_layout_extractor(spark, tmp_path):
+    """north_rule "PDF/layout parse": a crawl payload whose bytes are a PDF
+    flows through engine/pdf.py inside the same convert stage; HTML rows are
+    unaffected, and a poisoned PDF records convert_error, not a crash."""
+    import datetime
+
+    import pandas as pd
+
+    from extractor_spark.engine.pdfwrite import text_to_pdf
+    from extractor_spark.spark.synth import PAGES_SCHEMA
+
+    pdf_doc = "Report title\n\nFirst body line.\nSecond body line."
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        {"url": "https://p.test/doc.pdf", "warc_ts": ts,
+         "html": text_to_pdf(pdf_doc), "text": None, "lang": None},
+        {"url": "https://p.test/page", "warc_ts": ts,
+         "html": b"<h1>Fine</h1><p>body</p>", "text": None, "lang": "en"},
+        # leading whitespace before the magic still routes as PDF
+        {"url": "https://p.test/ws.pdf", "warc_ts": ts,
+         "html": b"  \n" + text_to_pdf("padded"), "text": None, "lang": None},
+        # mentions %PDF- mid-document but is HTML: must NOT route as PDF
+        {"url": "https://p.test/about-pdf", "warc_ts": ts,
+         "html": b"<p>The %PDF- magic marks PDF files.</p>", "text": None, "lang": "en"},
+    ]
+    pages_path = str(tmp_path / "pdfpages.parquet")
+    spark.createDataFrame(pd.DataFrame(rows), schema=PAGES_SCHEMA).write.parquet(pages_path)
+
+    out_dir = str(tmp_path / "out_pdf")
+    run_pipeline(
+        spark,
+        PipelineConfig(pages_path=pages_path, output_path=out_dir, n_buckets=2, resume=False),
+    )
+    out = {r["url"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert out["https://p.test/doc.pdf"]["markdown"] == pdf_doc
+    assert out["https://p.test/doc.pdf"]["text"] == " ".join(pdf_doc.split())
+    assert out["https://p.test/doc.pdf"]["convert_error"] is None
+    assert out["https://p.test/ws.pdf"]["markdown"] == "padded"
+    assert out["https://p.test/page"]["markdown"] == "Fine\n====\n\nbody"
+    assert "%PDF-" in out["https://p.test/about-pdf"]["markdown"]
