@@ -142,6 +142,7 @@ def main() -> None:
         "stratified_sample",
         "props_k_stats",
         "semantic_dedup",
+        "pdf_roundtrip_extract",
     ]
     from extractor_spark.spark.queries import release_query_caches
 
