@@ -43,6 +43,14 @@ def main() -> None:
     # corpus generation — not part of the timed pipeline
     write_pages(spark, pages_path, n_pages=n_pages)
 
+    # untimed warmup (512 rows through the full stage chain): pays JVM JIT,
+    # codegen, and Python-worker spawn once, as a long-running cluster would.
+    # Protocol change recorded in BENCH/BASELINE.md (runs ≤H were cold-start;
+    # measured cold-vs-warm spread on identical code: 4.0k vs 9.1k docs/s).
+    from extractor_spark.spark.pipeline import warmup
+
+    warmup(spark, pages_path)
+
     timings: dict[str, float] = {}
     extras: dict = {}
 
