@@ -280,9 +280,13 @@ class PdfDocument:
         length = d.get("Length")
         if isinstance(length, int):
             end = start + length
-            # trust /Length only if endstream actually follows (±EOL slack)
-            probe = data[end:end + 20]
-            if b"endstream" in probe:
+            # trust /Length only if endstream follows with nothing but EOL
+            # slack (≤2 bytes) — 'endstream' merely NEAR the end would
+            # accept lengths short by up to the probe width
+            j = end
+            while j < len(data) and j - end < 2 and data[j] in (0x0A, 0x0D):
+                j += 1
+            if data.startswith(b"endstream", j):
                 return data[start:end]
         end = data.find(b"endstream", start)
         if end < 0:
@@ -401,6 +405,9 @@ class PdfDocument:
 
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_BFRANGE_ENTRY_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)"
+)
 _HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
 _CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
 
@@ -503,9 +510,7 @@ def _parse_tounicode(src: bytes, fi: FontInfo) -> None:
         # two forms: <lo> <hi> <dst>   |   <lo> <hi> [<dst> <dst> ...]
         pos = 0
         while True:
-            mm = re.compile(
-                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)"
-            ).search(body, pos)
+            mm = _BFRANGE_ENTRY_RE.search(body, pos)
             if not mm:
                 break
             lo, hi = int(mm.group(1), 16), int(mm.group(2), 16)
@@ -559,6 +564,9 @@ def _mat_mul(a: tuple, b: tuple) -> tuple:
 
 _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
+# EI delimited by whitespace before and ws/delim/EOF after (inline images)
+_INLINE_IMG_END = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r /<>\[\](){}%]|$)")
+
 
 def _content_tokens(buf: bytes) -> Iterator[Any]:
     """Yield COS objects and operator strings from a content stream."""
@@ -584,9 +592,12 @@ def _content_tokens(buf: bytes) -> Iterator[Any]:
                 pos += 1
             op = buf[start:pos].decode("latin-1")
             if op == "BI":
-                # inline image: skip to EI (§8.9.7)
-                e = buf.find(b"EI", pos)
-                pos = n if e < 0 else e + 2
+                # inline image (§8.9.7): skip to EI — but only an EI that is
+                # whitespace-delimited on both sides, else the 2-byte
+                # sequence INSIDE the binary image data ends the skip early
+                # and garbage is lexed as operators
+                m = _INLINE_IMG_END.search(buf, pos)
+                pos = n if m is None else m.end()
                 continue
             yield ("op", op)
 
@@ -604,11 +615,30 @@ def extract_runs(doc: PdfDocument, page: dict) -> list[Run]:
     buf = b"\n".join(chunks)
 
     res = doc.resolve(page.get("Resources")) or {}
-    font_dict = doc.resolve(res.get("Font")) if isinstance(res, dict) else {}
+    runs: list[Run] = []
+    _interpret(doc, buf, res if isinstance(res, dict) else {}, _ID, runs, 0)
+    return runs
+
+
+def _interpret(
+    doc: PdfDocument,
+    buf: bytes,
+    res: dict,
+    base_ctm: tuple,
+    runs: list[Run],
+    depth: int,
+) -> None:
+    """Interpret one content stream (page or Form XObject) into `runs`.
+
+    Form XObjects (`name Do`) recurse with CTM = /Matrix × current CTM and
+    the form's own /Resources (falling back to the caller's) — per §8.10
+    the form inherits the graphics state; text state is re-established by
+    the form's own BT/ET, which every real generator emits."""
+    font_dict = doc.resolve(res.get("Font")) or {}
+    xobj_dict = doc.resolve(res.get("XObject")) or {}
     fonts: dict[str, FontInfo] = {}
 
-    runs: list[Run] = []
-    ctm = _ID
+    ctm = base_ctm
     ctm_stack: list[tuple] = []
     tm = _ID
     tlm = _ID
@@ -639,7 +669,13 @@ def extract_runs(doc: PdfDocument, page: dict) -> list[Run]:
         x1, _ = device(0.0, 0.0)
         text = "".join(parts)
         if text:
-            runs.append(Run(x0, y0, fsize * max(abs(ctm[3]), 1e-6), text, x1))
+            # effective size = Tfs × the COMPOSITE (tm×ctm) vertical scale:
+            # the 'Tf 1 ... Tm [s 0 0 s ...]' pattern scales via the text
+            # matrix, which ctm alone would miss (gap thresholds would then
+            # see size≈1 and split words at kern-sized gaps)
+            m = _mat_mul(tm, ctm)
+            vscale = (m[2] * m[2] + m[3] * m[3]) ** 0.5
+            runs.append(Run(x0, y0, fsize * max(vscale, 1e-6), text, x1))
 
     for tok in _content_tokens(buf):
         if not (isinstance(tok, tuple) and len(tok) == 2 and tok[0] == "op"):
@@ -710,10 +746,31 @@ def extract_runs(doc: PdfDocument, page: dict) -> list[Run]:
                         tm = _mat_mul((1, 0, 0, 1, shift, 0), tm)
                         if float(item) < -180 and runs and runs[-1].text and not runs[-1].text.endswith(" "):
                             runs[-1].text += " "
+            elif op == "Do" and stack and depth < 8:
+                xo = doc.resolve(xobj_dict.get(str(stack[-1])))
+                if isinstance(xo, Stream) and xo.dict.get("Subtype") == Name("Form"):
+                    inner_res = doc.resolve(xo.dict.get("Resources"))
+                    mat = doc.resolve(xo.dict.get("Matrix"))
+                    fm = (
+                        tuple(float(v) for v in mat)
+                        if isinstance(mat, list) and len(mat) == 6
+                        else _ID
+                    )
+                    try:
+                        inner = doc.stream_data(xo)
+                    except Exception:
+                        inner = b""
+                    _interpret(
+                        doc,
+                        inner,
+                        inner_res if isinstance(inner_res, dict) else res,
+                        _mat_mul(fm, ctm),
+                        runs,
+                        depth + 1,
+                    )
         except (TypeError, ValueError, IndexError):
             pass
         stack.clear()
-    return runs
 
 
 # ---------------------------------------------------------------------------
@@ -781,22 +838,31 @@ def _approx_gcd(vals: list[float], tol: float = 0.7) -> float:
     return g
 
 
-def _dominant_leading(ys: list[float]) -> Optional[float]:
+def _dominant_leading(ys: list[float], font_size: float = 0.0) -> Optional[float]:
     """Estimate the line leading from baseline gaps.
 
     When every gap is a near-integer multiple of a common base ≥ 3pt (the
     writer's uniform-leading case, blank lines included), the approximate
     GCD recovers the base even if NO adjacent pair is exactly one leading
-    apart.  Otherwise fall back to the most common gap.  Boundary (by
-    construction unrecoverable): a document whose every gap shares a
-    multiple — e.g. a single pair of lines separated by one blank — reads
-    as contiguous lines at double leading.
+    apart.  Otherwise fall back to the most common gap.
+
+    Typographic refinement: single-spaced leading is ~1.15–1.5× the font
+    size.  If the recovered base is 1.9–3.6× the font size — a rhythm in
+    which EVERY gap hides one or two blank lines (uniformly double-spaced
+    blanks, or a lone blank pair) — divide by 2 or 3 to land back in the
+    plausible band.  Boundary: true 2×-leading contiguous typography is
+    geometrically indistinguishable from one blank line per gap and will
+    gain blanks; such loose leading is rare in body text.
     """
     gaps = [a - b for a, b in zip(ys, ys[1:]) if a - b > 0.5]
     if not gaps:
         return None
     g = _approx_gcd(sorted(gaps))
     if g >= 3.0 and all(abs(x - round(x / g) * g) <= max(0.7, 0.05 * g) for x in gaps):
+        if font_size > 0 and 1.9 * font_size < g <= 3.6 * font_size:
+            for m in (2, 3):
+                if 1.0 * font_size <= g / m <= 1.8 * font_size:
+                    return g / m
         return g
     counts: dict[float, int] = {}
     for x in gaps:
@@ -810,7 +876,9 @@ def _emit_column(lines: list[list[Run]]) -> list[str]:
     if not lines:
         return []
     ys = [ln[0].y for ln in lines]
-    lead = _dominant_leading(ys)
+    sizes = sorted(r.size for ln in lines for r in ln)
+    modal_size = sizes[len(sizes) // 2] if sizes else 0.0
+    lead = _dominant_leading(ys, modal_size)
     out: list[str] = []
     prev_y: Optional[float] = None
     for ln, y in zip(lines, ys):
@@ -868,5 +936,15 @@ def pdf_to_text(data: bytes) -> str:
 
 
 def is_pdf(data: bytes) -> bool:
-    """Magic sniff: spec allows junk before %PDF- within the first 1 KiB."""
-    return b"%PDF-" in data[:1024]
+    """Magic sniff: %PDF- after optional BOM/whitespace.
+
+    Deliberately STRICTER than the parser (PdfDocument.load tolerates
+    arbitrary junk before the header): a routing sniff that matched %PDF-
+    anywhere in the first KiB would classify HTML that merely MENTIONS the
+    magic as a PDF, and the convert stage and multimodal stage must agree
+    on the same payload.  Callers that know a payload is a PDF can call
+    pdf_to_text directly regardless of prefix junk."""
+    head = data[:1024]
+    if head.startswith(b"\xef\xbb\xbf"):
+        head = head[3:]
+    return head.lstrip()[:5] == b"%PDF-"

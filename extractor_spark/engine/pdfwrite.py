@@ -17,8 +17,12 @@ Layout contract (what pdf.py must reconstruct):
 - each text line is one Tj at a fixed leading (T* between lines);
 - a blank input line advances the baseline without showing text, so the
   extractor re-infers it from the leading multiple;
-- pages break only at line boundaries, so page texts joined with "\\n"
-  reproduce the input exactly.
+- page breaks land only where both adjoining lines are non-blank, so page
+  texts joined with "\\n" reproduce the input exactly.
+
+Documented roundtrip boundaries (geometry carries no signal): blank lines
+at the very start or end of the document, blank runs longer than a page,
+and contiguous text at ≥1.9× leading (see pdf._dominant_leading).
 """
 
 from __future__ import annotations
@@ -44,16 +48,16 @@ def _wrap_line(line: str, width: int) -> list[str]:
         return [line]
     words = line.split(" ")
     out: list[str] = []
-    cur = ""
+    cur: str | None = None
     for w in words:
-        if not cur:
-            cur = w
+        if cur is None:
+            cur = w  # may be "" (leading space) — must NOT be dropped
         elif len(cur) + 1 + len(w) <= width:
             cur += " " + w
         else:
             out.append(cur)
             cur = w
-    out.append(cur)
+    out.append(cur if cur is not None else "")
     return out
 
 
@@ -129,7 +133,26 @@ def text_to_pdf(
         lines = [""]
     table = _glyph_table(lines)
 
-    pages = [lines[i:i + lines_per_page] for i in range(0, len(lines), lines_per_page)]
+    # Paginate at blank-safe boundaries: a blank line adjacent to a page
+    # break produces no runs on either page and the extractor's leading
+    # inference cannot see across pages, so require the last line of a page
+    # and the first line of the next to both be non-blank (searching back
+    # from the target size).  Unrecoverable boundaries, documented: a blank
+    # run longer than a page, and blank lines at the very start or end of
+    # the document (no baseline before/after to measure against).
+    pages: list[list[str]] = []
+    i = 0
+    nl = len(lines)
+    while i < nl:
+        k = min(i + lines_per_page, nl)
+        if k < nl:
+            j = k
+            while j > i + 1 and not (lines[j - 1] and lines[j]):
+                j -= 1
+            if lines[j - 1] and lines[j]:
+                k = j
+        pages.append(lines[i:k])
+        i = k
 
     # object layout: 1 Catalog, 2 Pages, 3 Font, 4 ToUnicode,
     # then per page: (5+2i) Page, (6+2i) Contents

@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 
 from extractor_spark.engine.convert import HtmlExtractionOptions, html_to_markdown
 from extractor_spark.engine.extract_llm import LLMClient, MarkdownRuleExtractor, extract_with_llm
+from extractor_spark.engine.pdf import is_pdf
 from extractor_spark.engine.schema import normalize_schema, to_spark_type
 
 CONVERT_SCHEMA = T.StructType(
@@ -133,9 +134,7 @@ def convert_stage(
                 error = None
                 boiler = None
                 try:
-                    if isinstance(raw, (bytes, bytearray)) and bytes(
-                        raw
-                    ).lstrip()[:5] == b"%PDF-":
+                    if isinstance(raw, (bytes, bytearray)) and is_pdf(bytes(raw)):
                         # north_rule "PDF/layout parse": crawl payloads that
                         # are PDFs route through the layout extractor; the
                         # markdown column carries the layout-ordered plain

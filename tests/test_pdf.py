@@ -96,11 +96,38 @@ def test_roundtrip_uncompressed():
     assert pdf_to_text(text_to_pdf(t, compress=False)) == t
 
 
-def test_roundtrip_boundary_lone_blank_pair_documented():
-    # Documented unrecoverable boundary (_dominant_leading docstring): a
-    # single line pair separated by one blank has only one gap, which reads
-    # as contiguous lines at double leading.
-    assert pdf_to_text(text_to_pdf("a\n\nb")) == "a\nb"
+def test_lone_blank_pair_recovered_by_size_heuristic():
+    # A single gap of 2x leading is geometrically ambiguous, but the
+    # typographic band (leading ~1.15-1.5x font size) disambiguates: 28pt
+    # at 11pt font is implausible as single-spacing, so one blank line is
+    # re-inferred (_dominant_leading refinement).
+    assert pdf_to_text(text_to_pdf("a\n\nb")) == "a\n\nb"
+
+
+def test_uniform_alternating_blanks_recovered():
+    # every gap is 2x leading (blank between every pair) — the GCD alone
+    # reads as the leading; the font-size band halves it back
+    t = "a\n\nb\n\nc\n\nd"
+    assert pdf_to_text(text_to_pdf(t)) == t
+
+
+def test_roundtrip_boundary_trailing_blank_documented():
+    # Documented unrecoverable boundary: trailing blank lines leave no
+    # baseline after them to measure against.
+    assert pdf_to_text(text_to_pdf("a\nb\n")) == "a\nb"
+
+
+def test_blank_line_at_page_boundary_preserved():
+    # 48 non-blank lines then blank+line: pagination must not split at the
+    # blank (the extractor cannot infer blanks across pages)
+    t = "\n".join([f"x{i}" for i in range(48)] + ["", "y"])
+    assert pdf_to_text(text_to_pdf(t, lines_per_page=48)) == t
+
+
+def test_wrap_preserves_leading_space():
+    t = " lead" + " word" * 30  # >72 chars, starts with a space
+    got = pdf_to_text(text_to_pdf(t, wrap=72)).replace("\n", " ")
+    assert got == t
 
 
 def test_wrap_rejoin_identity():
@@ -336,8 +363,59 @@ def test_inline_image_skipped():
 
 def test_is_pdf_sniff():
     assert is_pdf(b"%PDF-1.7\nrest")
-    assert is_pdf(b"\xef\xbb\xbfjunk%PDF-1.4")
+    assert is_pdf(b"\xef\xbb\xbf  \n%PDF-1.4")  # BOM + whitespace ok
     assert not is_pdf(b"PK\x03\x04 not a pdf")
+    # STRICT routing sniff: mentioning the magic mid-payload is not a PDF
+    # (the lenient parser still accepts junk-prefixed PDFs when invoked)
+    assert not is_pdf(b"<p>The %PDF- magic marks PDF files.</p>")
+    assert pdf_to_text(b"junkjunk%PDF-1.4\n" + text_to_pdf("still parses")[9:]) == "still parses"
+
+
+def test_tm_scaled_font_size_no_spurious_spaces():
+    # 'Tf 1' with the size in the text matrix: the composite (tm x ctm)
+    # vertical scale must drive gap thresholds, else a kern-sized 1pt gap
+    # reads as a word break
+    content = (b"BT /F1 1 Tf 12 0 0 12 72 700 Tm (Hel) Tj "
+               b"12 0 0 12 91 700 Tm (lo) Tj ET")
+    assert pdf_to_text(_minimal_pdf(content)) == "Hello"
+
+
+def test_inline_image_with_embedded_ei_bytes():
+    # image data contains the 2-byte sequence 'EI' — the skip must only end
+    # at a whitespace-delimited EI token
+    content = (b"BT /F1 12 Tf 72 720 Td (real) Tj ET "
+               b"BI /W 4 /H 4 /BPC 8 ID \x10\x45\x49\x20(garbage)Tj\x00\x00 EI "
+               b"BT /F1 12 Tf 72 700 Td (after) Tj ET")
+    assert pdf_to_text(_minimal_pdf(content)) == "real\nafter"
+
+
+def test_form_xobject_text_extracted():
+    # page content is just 'q /Fm0 Do Q'; the text lives in a Form XObject
+    inner = b"BT /F1 12 Tf 14 TL 72 720 Td (from the form) Tj T* (second) Tj ET"
+    extra = (
+        f"6 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+        f"/Resources << /Font << /F1 5 0 R >> >> /Length {len(inner)} >>\nstream\n".encode()
+        + inner + b"\nendstream\nendobj\n"
+    )
+    pdf = _minimal_pdf(b"q /Fm0 Do Q", extra_objs=extra.decode("latin-1"))
+    pdf = pdf.replace(
+        b"/Resources << /Font << /F1 5 0 R >> >>",
+        b"/Resources << /Font << /F1 5 0 R >> /XObject << /Fm0 6 0 R >> >>",
+        1,  # only the PAGE resources; the form's own stay font-only
+    )
+    assert pdf_to_text(pdf) == "from the form\nsecond"
+
+
+def test_short_length_with_nearby_endstream_rescans():
+    # /Length short by 6: 'endstream' is within 20 bytes of the bogus end,
+    # but only EOL slack may precede it — the extent must fall back to the
+    # endstream scan instead of truncating the stream
+    content = b"BT /F1 12 Tf 72 700 Td (HelloWorld) Tj ET"
+    pdf = _minimal_pdf(content)
+    broken = pdf.replace(
+        f"/Length {len(content)}".encode(), f"/Length {len(content) - 6}".encode()
+    )
+    assert pdf_to_text(broken) == "HelloWorld"
 
 
 def test_empty_and_garbage_inputs_do_not_raise():
