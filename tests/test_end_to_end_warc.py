@@ -96,3 +96,41 @@ def test_jsonl_pages_source(spark, tmp_path):
     assert summary["convert_failures"] == 0
     got = spark.read.parquet(out)
     assert got.filter("markdown IS NOT NULL").count() == 60
+
+
+def test_warc_with_pdf_records_extracts_both(spark, tmp_path):
+    """A Common-Crawl-style archive mixing text/html and application/pdf
+    response records: the pipeline routes each payload by magic, so PDFs
+    come out with their layout text and HTML with markdown — one archive,
+    one pipeline, no special-casing at the call site."""
+    from extractor_spark.engine.pdfwrite import text_to_pdf
+    from extractor_spark.engine.warc import build_warc
+    from extractor_spark.spark.pipeline import PipelineConfig, run_pipeline
+    from extractor_spark.spark.synth import synth_page_html
+
+    t = datetime.datetime(2024, 3, 1)
+    pdf_text = "Crawled report\n\nparagraph one.\nparagraph two."
+    records = [
+        ("https://m.test/page", t, synth_page_html(7, 1).encode()),
+        ("https://m.test/report.pdf", t, text_to_pdf(pdf_text)),
+    ]
+    warc_dir = tmp_path / "mixed"
+    warc_dir.mkdir()
+    (warc_dir / "m.warc").write_bytes(build_warc(records))
+
+    out = str(tmp_path / "mixed_out")
+    summary = run_pipeline(
+        spark,
+        PipelineConfig(
+            pages_path=str(warc_dir),
+            output_path=out,
+            pages_format="warc",
+            n_buckets=2,
+            resume=False,
+        ),
+    )
+    assert summary["docs"] == 2
+    assert summary["convert_failures"] == 0
+    rows = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    assert rows["https://m.test/report.pdf"]["markdown"] == pdf_text
+    assert "#" in rows["https://m.test/page"]["markdown"] or rows["https://m.test/page"]["markdown"]
