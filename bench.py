@@ -151,6 +151,7 @@ def main() -> None:
         "props_k_stats",
         "semantic_dedup",
         "pdf_roundtrip_extract",
+        "sequence_packing",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

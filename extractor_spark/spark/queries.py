@@ -1589,6 +1589,97 @@ def _markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sequence packing for training pipelines: concatenate the corpus in doc_id
+# order and chunk it into fixed token budgets; a document belongs to the
+# pack its START offset falls in (docs span pack boundaries — the standard
+# "concat then chunk" pretraining layout).  The global prefix sum is the
+# interesting part at scale: a naive sum() OVER (ORDER BY doc_id) is a
+# SINGLE-partition window (the whole corpus through one task).  Instead:
+# range-partition by doc_id, cumsum WITHIN each partition (parallel
+# windows), compute per-partition totals (one tiny agg), prefix-sum those
+# 16 numbers driver-side, and broadcast-join the offsets back — the
+# textbook two-level distributed prefix sum, one full shuffle total.
+# DuckDB oracles it with the plain global window, so the distributed
+# decomposition is proven exactly equal to the sequential semantics.
+_PACK_BUDGET = 2048
+
+_SEQ_PACKING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id) AS cs
+  FROM toks
+)
+SELECT CAST(floor((cs - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT)      AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       min(doc_id)                   AS first_doc,
+       max(doc_id)                   AS last_doc
+FROM cum
+GROUP BY 1
+ORDER BY pack_id
+"""
+
+
+def _sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    _views(spark, sf_dir)
+    toks = spark.sql(
+        "SELECT doc_id, CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens "
+        "FROM documents"
+    )
+    # materialize ONE range partitioning and derive both passes from it, so
+    # partition ids are consistent between the offsets pass and the final
+    # pass (correctness does not depend on where the sampled boundaries
+    # fall — only on ranges being ordered by partition id, which
+    # repartitionByRange guarantees); checkpoint blocks are registered for
+    # release_query_caches (the lazy result still reads them)
+    sc = spark.sparkContext
+    before = caches.persistent_ids(sc)
+    parts = (
+        toks.repartitionByRange(16, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    for h in caches.checkpoint_handles_since(sc, before):
+        caches.register(h)
+    totals = parts.groupBy("pid").agg(F.sum("n_tokens").alias("ptotal")).collect()
+    by_pid = {r["pid"]: r["ptotal"] for r in totals}
+    offsets, acc = [], 0
+    for pid in sorted(by_pid):
+        offsets.append((pid, acc))
+        acc += by_pid[pid]
+    off_df = spark.createDataFrame(offsets, "pid int, offset bigint")
+
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    packed = (
+        parts.withColumn("cs_local", F.sum("n_tokens").over(w))
+        .join(F.broadcast(off_df), "pid")
+        .withColumn(
+            "pack_id",
+            F.floor(
+                (F.col("offset") + F.col("cs_local") - F.col("n_tokens"))
+                / F.lit(_PACK_BUDGET)
+            ).cast("bigint"),
+        )
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )
+
+
 # PDF extraction roundtrip (north_rule: "PDF/layout parse").  Spark renders
 # each document's text into a real PDF (engine/pdfwrite.py: Type0 font,
 # ToUnicode CMap, Flate, word-wrap at 72 cols) and extracts it back with the
@@ -1688,4 +1779,5 @@ QUERIES: dict[str, tuple] = {
     "mean_embedding_per_lang": (_mean_embedding_per_lang, _MEAN_EMB_ORACLE),
     "markdown_sections": (_markdown_sections, None),
     "pdf_roundtrip_extract": (_pdf_roundtrip_extract, _PDF_ROUNDTRIP_ORACLE),
+    "sequence_packing": (_sequence_packing, _SEQ_PACKING_ORACLE),
 }

@@ -419,3 +419,16 @@ def _groups(labels):
     for vid, cid in labels.items():
         groups.setdefault(cid, set()).add(vid)
     return groups
+
+
+def test_sequence_packing_window_is_partitioned_not_global(spark):
+    """The distributed prefix sum must never degrade to a single-partition
+    global window: the physical plan's window spec has to partition by pid
+    (refactors that 'simplify' to sum() OVER (ORDER BY doc_id) would pass
+    the oracle but serialize the whole corpus through one task)."""
+    df = ALL_QUERIES["sequence_packing"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    window_lines = [l for l in plan.splitlines() if "Window" in l]
+    assert window_lines, plan
+    assert any("pid" in l for l in window_lines), window_lines
+    assert "SinglePartition" not in plan, "global window crept into the plan"
