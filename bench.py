@@ -152,6 +152,7 @@ def main() -> None:
         "semantic_dedup",
         "pdf_roundtrip_extract",
         "sequence_packing",
+        "dup_ngram_spans",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

@@ -1589,6 +1589,54 @@ def _markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Substring-level duplicate detection (the span-dedup step of "Deduplicating
+# Training Data Makes Language Models Better"-style pipelines): every
+# 4-token span appearing in ≥2 DISTINCT documents, with occurrence and
+# document counts.  Exact and SQL-expressible in both engines, so it is
+# oracle-checked.  Scale shape: the explode emits ~tokens-per-doc rows per
+# document, and the aggregation map-side-combines on the span key before the
+# single shuffle; at petabyte scale you ship xxhash64(span) instead of the
+# span text (8 bytes/row) and join back only the survivors — the exact
+# string form here is what makes the DuckDB oracle byte-comparable.
+_DUP_SPANS_SPARK = """
+WITH toks AS (
+  SELECT doc_id, split(trim(text), '\\\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         explode(transform(sequence(1, size(t) - 3),
+                           i -> concat_ws(' ', slice(t, i, 4)))) AS span
+  FROM toks WHERE size(t) >= 4
+)
+SELECT span,
+       CAST(count(*) AS BIGINT)                AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT)  AS n_docs
+FROM grams
+GROUP BY span
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_occurrences DESC, span
+LIMIT 200
+"""
+
+_DUP_SPANS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 3),
+                               i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS span
+  FROM toks WHERE len(t) >= 4
+)
+SELECT span,
+       CAST(count(*) AS BIGINT)                AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT)  AS n_docs
+FROM grams
+GROUP BY span
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_occurrences DESC, span
+LIMIT 200
+"""
+
+
 # Sequence packing for training pipelines: concatenate the corpus in doc_id
 # order and chunk it into fixed token budgets; a document belongs to the
 # pack its START offset falls in (docs span pack boundaries — the standard
@@ -1780,4 +1828,5 @@ QUERIES: dict[str, tuple] = {
     "markdown_sections": (_markdown_sections, None),
     "pdf_roundtrip_extract": (_pdf_roundtrip_extract, _PDF_ROUNDTRIP_ORACLE),
     "sequence_packing": (_sequence_packing, _SEQ_PACKING_ORACLE),
+    "dup_ngram_spans": (_sql(_DUP_SPANS_SPARK), _DUP_SPANS_ORACLE),
 }
