@@ -422,3 +422,26 @@ def test_empty_and_garbage_inputs_do_not_raise():
     assert pdf_to_text(b"") == ""
     assert pdf_to_text(b"%PDF-1.4\ngarbage only") == ""
     assert pdf_to_pages(b"\x00" * 64) == []
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.data())
+def test_mutation_fuzz_never_raises(data):
+    """Crawl-facing contract: arbitrary corruption of a valid PDF may lose
+    text but must never raise — a poisoned document cannot be allowed to
+    fail a 100 TB task (the Spark stages rely on this via their own
+    try/except, but the parser itself should already be total)."""
+    base = text_to_pdf("fuzz target\n\nwith several lines\nof content here")
+    n_mut = data.draw(st.integers(1, 8))
+    buf = bytearray(base)
+    for _ in range(n_mut):
+        pos = data.draw(st.integers(0, len(buf) - 1))
+        buf[pos] = data.draw(st.integers(0, 255))
+    out = pdf_to_text(bytes(buf))
+    assert isinstance(out, str)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_arbitrary_bytes_never_raise(blob):
+    assert isinstance(pdf_to_text(b"%PDF-1.4\n" + blob), str)
