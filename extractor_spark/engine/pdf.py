@@ -77,6 +77,7 @@ _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _OBJ_RE = re.compile(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+obj\b")
+_KEYWORD_RE = re.compile(rb"[A-Za-z]+")
 
 
 def _skip_ws(buf: bytes, pos: int) -> int:
@@ -215,6 +216,13 @@ def parse_object(buf: bytes, pos: int) -> tuple[Any, int]:
         if b"." in tok:
             return float(tok), m.end()
         return int(tok), m.end()
+    # lenient: a bare keyword where an object is expected (corrupt arrays /
+    # dict values in real crawl PDFs) parses as null instead of aborting the
+    # enclosing object — but NOT at 'endobj'/'stream' boundaries, which must
+    # stay hard stops so dict parsing cannot swallow the stream keyword
+    mk = _KEYWORD_RE.match(buf, pos)
+    if mk and mk.group() not in (b"endobj", b"stream", b"endstream"):
+        return None, mk.end()
     raise ValueError(f"unparseable object at {pos}: {buf[pos:pos+20]!r}")
 
 
@@ -540,7 +548,7 @@ def _parse_tounicode(src: bytes, fi: FontInfo) -> None:
 
 class Run:
     """One positioned text run in device space."""
-    __slots__ = ("x", "y", "size", "text", "x_end")
+    __slots__ = ("x", "y", "size", "text", "x_end", "link")
 
     def __init__(self, x: float, y: float, size: float, text: str, x_end: float) -> None:
         self.x = x
@@ -548,6 +556,7 @@ class Run:
         self.size = size
         self.text = text
         self.x_end = x_end
+        self.link: Optional[str] = None
 
 
 def _mat_mul(a: tuple, b: tuple) -> tuple:
@@ -872,7 +881,13 @@ def _dominant_leading(ys: list[float], font_size: float = 0.0) -> Optional[float
 
 
 def _emit_column(lines: list[list[Run]]) -> list[str]:
-    """Render grouped lines to text, re-inferring blank lines from leading."""
+    """Render grouped lines to text, re-inferring blank lines from leading.
+
+    Runs carrying a link annotation (set by ``_assign_links``) emit as
+    markdown ``[text](uri)`` — the PDF counterpart of the HTML path's
+    link-preserving markdown.  Adjacent runs with the same uri merge into
+    one link; an inter-run gap space goes inside the brackets only when
+    both sides share the uri."""
     if not lines:
         return []
     ys = [ln[0].y for ln in lines]
@@ -886,24 +901,83 @@ def _emit_column(lines: list[list[Run]]) -> list[str]:
             k = round((prev_y - y) / lead)
             if k >= 2 and abs((prev_y - y) - k * lead) <= max(1.0, 0.1 * lead):
                 out.extend([""] * (k - 1))
-        parts: list[str] = []
+        segs: list[tuple[str, Optional[str]]] = []
         prev: Optional[Run] = None
         for r in sorted(ln, key=lambda r: r.x):
             if prev is not None and r.x - prev.x_end > 0.3 * max(r.size, 1.0) \
-                    and parts and not parts[-1].endswith(" ") \
+                    and segs and not segs[-1][0].endswith(" ") \
                     and not r.text.startswith(" "):
-                parts.append(" ")
-            parts.append(r.text)
+                segs.append((" ", r.link if prev.link == r.link else None))
+            segs.append((r.text, r.link))
             prev = r
+        parts: list[str] = []
+        i = 0
+        while i < len(segs):
+            link = segs[i][1]
+            j = i
+            buf: list[str] = []
+            while j < len(segs) and segs[j][1] == link:
+                buf.append(segs[j][0])
+                j += 1
+            body = "".join(buf)
+            if link:
+                uri = link.replace("(", "\\(").replace(")", "\\)")
+                parts.append(f"[{body}]({uri})")
+            else:
+                parts.append(body)
+            i = j
         out.append("".join(parts))
         prev_y = y
     return out
+
+
+def _page_links(doc: PdfDocument, page: dict) -> list[tuple]:
+    """(x0, y0, x1, y1, uri) for each /Annots Link with a URI action."""
+    out: list[tuple] = []
+    annots = doc.resolve(page.get("Annots"))
+    if not isinstance(annots, list):
+        return out
+    for a in annots:
+        a = doc.resolve(a)
+        if isinstance(a, Stream):
+            a = a.dict
+        if not isinstance(a, dict) or a.get("Subtype") != Name("Link"):
+            continue
+        act = doc.resolve(a.get("A"))
+        uri = None
+        if isinstance(act, dict) and act.get("S") == Name("URI"):
+            u = doc.resolve(act.get("URI"))
+            if isinstance(u, bytes):
+                uri = u.decode("utf-8", "replace")
+            elif isinstance(u, str):
+                uri = u
+        rect = doc.resolve(a.get("Rect"))
+        if uri and isinstance(rect, list) and len(rect) == 4:
+            try:
+                x0, y0, x1, y1 = (float(doc.resolve(v)) for v in rect)
+            except (TypeError, ValueError):
+                continue
+            out.append((min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1), uri))
+    return out
+
+
+def _assign_links(runs: list[Run], rects: list[tuple]) -> None:
+    """Tag each run whose baseline midpoint falls inside a link rect."""
+    if not rects:
+        return
+    for r in runs:
+        midx = (r.x + r.x_end) / 2.0
+        for x0, y0, x1, y1, uri in rects:
+            if x0 <= midx <= x1 and y0 <= r.y <= y1:
+                r.link = uri
+                break
 
 
 def page_text(doc: PdfDocument, page: dict) -> str:
     runs = extract_runs(doc, page)
     if not runs:
         return ""
+    _assign_links(runs, _page_links(doc, page))
     lines = _group_lines(runs)
     gutter = _detect_gutter(lines)
     if gutter is None:

@@ -445,3 +445,50 @@ def test_mutation_fuzz_never_raises(data):
 @given(st.binary(min_size=0, max_size=400))
 def test_arbitrary_bytes_never_raise(blob):
     assert isinstance(pdf_to_text(b"%PDF-1.4\n" + blob), str)
+
+
+# ---------------------------------------------------------------------------
+# Link annotations → markdown links (HTML-path parity)
+# ---------------------------------------------------------------------------
+
+def _link_annot(rect, uri):
+    return (f"<< /Subtype /Link /Rect [{rect[0]} {rect[1]} {rect[2]} {rect[3]}] "
+            f"/A << /S /URI /URI ({uri}) >> >>")
+
+
+def _pdf_with_annots(content: bytes, annots: list[str]) -> bytes:
+    pdf = _minimal_pdf(content)
+    return pdf.replace(
+        b"/Contents 4 0 R",
+        ("/Contents 4 0 R /Annots [" + " ".join(annots) + "]").encode("latin-1"),
+    )
+
+
+def test_link_annotation_becomes_markdown_link():
+    # 'click here' at x=72..~140, y=700; rect covers it
+    content = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (see ) Tj "
+               b"1 0 0 1 100 700 Tm (the docs) Tj "
+               b"1 0 0 1 160 700 Tm ( after) Tj ET")
+    pdf = _pdf_with_annots(content, [_link_annot((98, 694, 152, 712), "https://d.test/x")])
+    assert pdf_to_text(pdf) == "see [the docs](https://d.test/x) after"
+
+
+def test_adjacent_runs_same_link_merge():
+    content = (b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (two) Tj "
+               b"1 0 0 1 110 700 Tm (words) Tj ET")
+    pdf = _pdf_with_annots(content, [_link_annot((70, 694, 160, 712), "https://d.test/m")])
+    # gap space lands INSIDE the link because both sides share the uri
+    assert pdf_to_text(pdf) == "[two words](https://d.test/m)"
+
+
+def test_link_uri_parens_escaped():
+    content = b"BT /F1 12 Tf 72 700 Td (wiki) Tj ET"
+    pdf = _pdf_with_annots(content, [_link_annot((70, 694, 120, 712), "https://w.test/a_(b)")])
+    assert pdf_to_text(pdf) == "[wiki](https://w.test/a_\\(b\\))"
+
+
+def test_annots_absent_or_malformed_ignored():
+    content = b"BT /F1 12 Tf 72 700 Td (plain) Tj ET"
+    pdf = _pdf_with_annots(content, ["<< /Subtype /Link /Rect [bad] >>",
+                                     "<< /Subtype /Square >>"])
+    assert pdf_to_text(pdf) == "plain"
