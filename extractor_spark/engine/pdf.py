@@ -431,7 +431,7 @@ class FontInfo:
     """Per-font decode state: code byte-width, cmap, widths."""
 
     __slots__ = ("nbytes", "cmap", "simple_enc", "widths", "first_char",
-                 "default_width")
+                 "default_width", "cid_widths")
 
     def __init__(self) -> None:
         self.nbytes = 1
@@ -440,6 +440,7 @@ class FontInfo:
         self.widths: list[float] = []
         self.first_char = 0
         self.default_width = 500.0
+        self.cid_widths: dict[int, float] = {}  # Type0 /W entries
 
     def decode(self, raw: bytes) -> list[tuple[str, float]]:
         """→ [(unicode_text, width_1000ths)] per code."""
@@ -460,6 +461,9 @@ class FontInfo:
         return out
 
     def _width(self, code: int) -> float:
+        w = self.cid_widths.get(code)
+        if w is not None:
+            return w
         i = code - self.first_char
         if 0 <= i < len(self.widths):
             return self.widths[i]
@@ -500,7 +504,44 @@ def load_font(doc: PdfDocument, font_obj: Any) -> FontInfo:
                 fi.default_width = float(doc.resolve(d0["DW"]))
             except (TypeError, ValueError):
                 pass
+        if isinstance(d0, dict):
+            _parse_cid_w(doc, d0.get("W"), fi)
     return fi
+
+
+def _parse_cid_w(doc: PdfDocument, w_obj: Any, fi: FontInfo) -> None:
+    """CIDFont /W array (§9.7.4.3), two entry forms interleaved:
+    ``c [w1 w2 ...]`` (widths for CIDs c, c+1, ...) and
+    ``cfirst clast w`` (one width for a CID range)."""
+    w = doc.resolve(w_obj)
+    if not isinstance(w, list):
+        return
+    i = 0
+    n = len(w)
+    while i < n:
+        try:
+            first = int(doc.resolve(w[i]))
+        except (TypeError, ValueError):
+            return
+        if i + 1 < n and isinstance(doc.resolve(w[i + 1]), list):
+            for k, wk in enumerate(doc.resolve(w[i + 1])):
+                try:
+                    fi.cid_widths[first + k] = float(doc.resolve(wk))
+                except (TypeError, ValueError):
+                    pass
+            i += 2
+        elif i + 2 < n:
+            try:
+                last = int(doc.resolve(w[i + 1]))
+                width = float(doc.resolve(w[i + 2]))
+            except (TypeError, ValueError):
+                return
+            if last - first <= 65536:
+                for c in range(first, last + 1):
+                    fi.cid_widths[c] = width
+            i += 3
+        else:
+            return
 
 
 def _parse_tounicode(src: bytes, fi: FontInfo) -> None:

@@ -492,3 +492,27 @@ def test_annots_absent_or_malformed_ignored():
     pdf = _pdf_with_annots(content, ["<< /Subtype /Link /Rect [bad] >>",
                                      "<< /Subtype /Square >>"])
     assert pdf_to_text(pdf) == "plain"
+
+
+def test_cid_w_array_drives_advance():
+    """Type0 /W widths (both entry forms) control the text advance: CID 1
+    ('A') is 2000/1000 wide, so two Tj'd glyphs with an interleaving Tm
+    reposition must not gain a spurious gap space — and with the narrow
+    default instead, the same geometry WOULD read as a gap."""
+    # font: 2-byte Identity-H with ToUnicode A/B; /W gives CID1 width 2000
+    cmap = (b"/CIDInit /ProcSet findresource begin 12 dict begin begincmap "
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange "
+            b"2 beginbfchar <0001> <0041> <0002> <0042> endbfchar "
+            b"endcmap end end")
+    font = (f"/Type /Font /Subtype /Type0 /BaseFont /T /Encoding /Identity-H "
+            f"/ToUnicode 6 0 R /DescendantFonts [<< /Type /Font "
+            f"/Subtype /CIDFontType2 /BaseFont /T "
+            f"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> "
+            f"/DW 100 /W [1 [2000] 2 2 500] >>]")
+    extra = (f"6 0 obj\n<< /Length {len(cmap)} >>\nstream\n".encode()
+             + cmap + b"\nendstream\nendobj\n").decode("latin-1")
+    # show 'A' at x=72 (advance 2000/1000*12=24 -> x_end=96), then 'B' at x=97:
+    # gap 1pt < 0.3*size -> same word.  With DW=100 (x_end=73.2) gap would be 23.8.
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm <0001> Tj 1 0 0 1 97 700 Tm <0002> Tj ET"
+    pdf = _minimal_pdf(content, extra_objs=extra, font=font)
+    assert pdf_to_text(pdf) == "AB"
