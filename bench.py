@@ -86,17 +86,21 @@ def main() -> None:
 
     pages_small = os.path.join(workdir, "pages_small.parquet")
     write_pages(spark, pages_small, n_pages=n_pages // 4)
-    t0 = time.time()
-    summary2 = run_pipeline(
-        spark,
-        PipelineConfig(
-            pages_path=pages_small,
-            output_path=os.path.join(workdir, "out_structured"),
-            schema=BLOG_SCHEMA,
-            resume=False,
-        ),
-    )
-    timings["extract_pipeline_structured"] = round(time.time() - t0, 3)
+    structured_runs = []
+    for attempt in range(2):  # best-of-2 (same rationale as the pipeline)
+        t0 = time.time()
+        summary2 = run_pipeline(
+            spark,
+            PipelineConfig(
+                pages_path=pages_small,
+                output_path=os.path.join(workdir, "out_structured"),
+                schema=BLOG_SCHEMA,
+                resume=False,
+            ),
+        )
+        structured_runs.append(round(time.time() - t0, 3))
+    timings["extract_pipeline_structured"] = min(structured_runs)
+    extras["structured_runs"] = structured_runs
     extras["structured_docs_per_sec"] = round(
         summary2["docs"] / timings["extract_pipeline_structured"], 1
     )
@@ -118,11 +122,15 @@ def main() -> None:
     # Timed directly after its producer: standalone it measures 16-20 s at
     # 100k docs; at the tail of the 30-query suite the JVM heap state added
     # up to 3x (run E), which mismeasures the operator.
-    t0 = time.time()
     from extractor_spark.spark.curate import curate
 
-    curate_stats = curate(spark, out_path, os.path.join(workdir, "curated"))
-    timings["curate_funnel"] = round(time.time() - t0, 3)
+    curate_runs = []
+    for attempt in range(2):  # best-of-2 (same rationale as the pipeline)
+        t0 = time.time()
+        curate_stats = curate(spark, out_path, os.path.join(workdir, "curated"))
+        curate_runs.append(round(time.time() - t0, 3))
+    timings["curate_funnel"] = min(curate_runs)
+    extras["curate_runs"] = curate_runs
     extras["curate_stages"] = {
         k: v for k, v in curate_stats.items() if k != "output_path"
     }
