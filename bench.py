@@ -23,6 +23,21 @@ import tempfile
 import time
 
 
+
+def _best_of(n_runs: int, fn) -> tuple[float, list[float]]:
+    """Run fn() n_runs times; return (best seconds, all raw times).
+
+    The shared VM has documented transient contention windows
+    (BENCH/BASELINE.md runs I-M) that can depress a single multi-core
+    measurement 2-5x; recording every leg keeps the spread visible."""
+    runs = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        fn()
+        runs.append(round(time.time() - t0, 3))
+    return min(runs), runs
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -54,13 +69,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict = {}
 
-    # best-of-2 for the headline pipeline: the shared VM has documented
-    # transient contention windows (BENCH/BASELINE.md runs I-L) that can
-    # depress a single multi-core measurement 2-5x; both raw times are
-    # recorded so the spread itself is visible.
-    pipeline_runs = []
-    for attempt in range(2):
-        t0 = time.time()
+    summary = None
+
+    def _run_main():
+        nonlocal summary
         summary = run_pipeline(
             spark,
             PipelineConfig(
@@ -71,9 +83,8 @@ def main() -> None:
                 resume=False,
             ),
         )
-        pipeline_runs.append(round(time.time() - t0, 3))
-    timings["extract_pipeline"] = min(pipeline_runs)
-    extras["pipeline_runs"] = pipeline_runs
+
+    timings["extract_pipeline"], extras["pipeline_runs"] = _best_of(2, _run_main)
     extras["pipeline_docs"] = summary["docs"]
     extras["pipeline_docs_per_sec"] = round(summary["docs"] / timings["extract_pipeline"], 1)
     extras["pipeline_html_mb_per_sec"] = round(
@@ -86,9 +97,10 @@ def main() -> None:
 
     pages_small = os.path.join(workdir, "pages_small.parquet")
     write_pages(spark, pages_small, n_pages=n_pages // 4)
-    structured_runs = []
-    for attempt in range(2):  # best-of-2 (same rationale as the pipeline)
-        t0 = time.time()
+    summary2 = None
+
+    def _run_structured():
+        nonlocal summary2
         summary2 = run_pipeline(
             spark,
             PipelineConfig(
@@ -98,9 +110,10 @@ def main() -> None:
                 resume=False,
             ),
         )
-        structured_runs.append(round(time.time() - t0, 3))
-    timings["extract_pipeline_structured"] = min(structured_runs)
-    extras["structured_runs"] = structured_runs
+
+    timings["extract_pipeline_structured"], extras["structured_runs"] = _best_of(
+        2, _run_structured
+    )
     extras["structured_docs_per_sec"] = round(
         summary2["docs"] / timings["extract_pipeline_structured"], 1
     )
@@ -124,13 +137,13 @@ def main() -> None:
     # up to 3x (run E), which mismeasures the operator.
     from extractor_spark.spark.curate import curate
 
-    curate_runs = []
-    for attempt in range(2):  # best-of-2 (same rationale as the pipeline)
-        t0 = time.time()
+    curate_stats = None
+
+    def _run_curate():
+        nonlocal curate_stats
         curate_stats = curate(spark, out_path, os.path.join(workdir, "curated"))
-        curate_runs.append(round(time.time() - t0, 3))
-    timings["curate_funnel"] = min(curate_runs)
-    extras["curate_runs"] = curate_runs
+
+    timings["curate_funnel"], extras["curate_runs"] = _best_of(2, _run_curate)
     extras["curate_stages"] = {
         k: v for k, v in curate_stats.items() if k != "output_path"
     }

@@ -277,6 +277,11 @@ class PdfDocument:
                         pos2 += 1
                     raw = cls._stream_extent(data, pos2, obj)
                     obj = Stream(obj, raw)
+            if obj is None:
+                # lenient-keyword garbage (or literal null): storing it
+                # would clobber an earlier VALID definition under
+                # later-wins — treat as absent instead
+                continue
             objects[num] = obj  # later definition wins (incremental update)
             direct.add(num)
         doc = cls(objects)
@@ -427,6 +432,16 @@ def _utf16be(hx: bytes) -> str:
     return b.decode("utf-16-be", "replace")
 
 
+def _safe_float(v, default: float = 0.0) -> float:
+    """float() that treats unconvertible/overflowing values as default
+    (huge literals in corrupt PDFs raise OverflowError)."""
+    try:
+        f = float(v)
+    except (TypeError, ValueError, OverflowError):
+        return default
+    return f if f == f and abs(f) != float("inf") else default
+
+
 class FontInfo:
     """Per-font decode state: code byte-width, cmap, widths."""
 
@@ -493,7 +508,7 @@ def load_font(doc: PdfDocument, font_obj: Any) -> FontInfo:
             fi.simple_enc = "mac-roman"
     w = doc.resolve(d.get("Widths"))
     if isinstance(w, list):
-        fi.widths = [float(doc.resolve(x) or 0) for x in w]
+        fi.widths = [_safe_float(doc.resolve(x)) for x in w]
         fi.first_char = int(doc.resolve(d.get("FirstChar")) or 0)
     # Type0 width default lives on the descendant font (/DW); single sweep
     desc = doc.resolve(d.get("DescendantFonts"))
@@ -502,7 +517,7 @@ def load_font(doc: PdfDocument, font_obj: Any) -> FontInfo:
         if isinstance(d0, dict) and "DW" in d0:
             try:
                 fi.default_width = float(doc.resolve(d0["DW"]))
-            except (TypeError, ValueError):
+            except (TypeError, ValueError, OverflowError):
                 pass
         if isinstance(d0, dict):
             _parse_cid_w(doc, d0.get("W"), fi)
@@ -521,20 +536,20 @@ def _parse_cid_w(doc: PdfDocument, w_obj: Any, fi: FontInfo) -> None:
     while i < n:
         try:
             first = int(doc.resolve(w[i]))
-        except (TypeError, ValueError):
+        except (TypeError, ValueError, OverflowError):
             return
         if i + 1 < n and isinstance(doc.resolve(w[i + 1]), list):
             for k, wk in enumerate(doc.resolve(w[i + 1])):
                 try:
                     fi.cid_widths[first + k] = float(doc.resolve(wk))
-                except (TypeError, ValueError):
+                except (TypeError, ValueError, OverflowError):
                     pass
             i += 2
         elif i + 2 < n:
             try:
                 last = int(doc.resolve(w[i + 1]))
                 width = float(doc.resolve(w[i + 2]))
-            except (TypeError, ValueError):
+            except (TypeError, ValueError, OverflowError):
                 return
             if last - first <= 65536:
                 for c in range(first, last + 1):
@@ -818,7 +833,7 @@ def _interpret(
                         runs,
                         depth + 1,
                     )
-        except (TypeError, ValueError, IndexError):
+        except (TypeError, ValueError, IndexError, OverflowError):
             pass
         stack.clear()
 
@@ -962,7 +977,10 @@ def _emit_column(lines: list[list[Run]]) -> list[str]:
                 j += 1
             body = "".join(buf)
             if link:
-                uri = link.replace("(", "\\(").replace(")", "\\)")
+                body = (body.replace("\\", "\\\\")
+                        .replace("[", "\\[").replace("]", "\\]"))
+                uri = (link.replace("\\", "\\\\")
+                       .replace("(", "\\(").replace(")", "\\)"))
                 parts.append(f"[{body}]({uri})")
             else:
                 parts.append(body)
@@ -996,7 +1014,7 @@ def _page_links(doc: PdfDocument, page: dict) -> list[tuple]:
         if uri and isinstance(rect, list) and len(rect) == 4:
             try:
                 x0, y0, x1, y1 = (float(doc.resolve(v)) for v in rect)
-            except (TypeError, ValueError):
+            except (TypeError, ValueError, OverflowError):
                 continue
             out.append((min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1), uri))
     return out

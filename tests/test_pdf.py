@@ -516,3 +516,38 @@ def test_cid_w_array_drives_advance():
     content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm <0001> Tj 1 0 0 1 97 700 Tm <0002> Tj ET"
     pdf = _minimal_pdf(content, extra_objs=extra, font=font)
     assert pdf_to_text(pdf) == "AB"
+
+
+def test_overflow_widths_do_not_raise():
+    # /W with a 320-digit float literal (parses to inf; int(inf) would
+    # overflow) and a huge-integer width: never-raise contract holds
+    big = "9" * 320
+    font = (f"/Type /Font /Subtype /Type0 /BaseFont /T /Encoding /Identity-H "
+            f"/DescendantFonts [<< /Type /Font /Subtype /CIDFontType2 /BaseFont /T "
+            f"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> "
+            f"/DW 100 /W [{big}.0 [500] 1 2 {big}] >>]")
+    content = b"BT /F1 12 Tf 72 700 Td <0001> Tj ET"
+    assert isinstance(pdf_to_text(_minimal_pdf(content, font=font)), str)
+
+
+def test_overflow_rect_and_matrix_do_not_raise():
+    big = b"9" * 400
+    content = b"BT /F1 12 Tf " + big + b" 0 0 " + big + b" 72 700 Tm (x) Tj ET"
+    pdf = _pdf_with_annots(content, [f"<< /Subtype /Link /Rect [0 0 {'9'*400} 10] "
+                                     f"/A << /S /URI /URI (https://x.test) >> >>"])
+    assert isinstance(pdf_to_text(pdf), str)
+
+
+def test_link_body_markdown_specials_escaped():
+    content = b"BT /F1 12 Tf 72 700 Td (see [12]) Tj ET"
+    pdf = _pdf_with_annots(content, [_link_annot((70, 694, 140, 712), "https://d.test/c")])
+    assert pdf_to_text(pdf) == "[see \\[12\\]](https://d.test/c)"
+
+
+def test_garbage_keyword_does_not_clobber_valid_object():
+    # an incremental 'update' of the Contents object that is pure text
+    # garbage must NOT replace the earlier valid stream under later-wins
+    content = b"BT /F1 12 Tf 72 700 Td (keep me) Tj ET"
+    pdf = _minimal_pdf(content)
+    appended = pdf + b"4 0 obj\ngarbagekeyword\nendobj\n"
+    assert pdf_to_text(appended) == "keep me"
