@@ -112,6 +112,45 @@ def _components(docs: DataFrame, pairs: DataFrame, algorithm: str) -> DataFrame:
     return algo(docs, pairs.selectExpr("u1 AS src", "u2 AS dst"), "url")
 
 
+def assign_packs(
+    spark: SparkSession,
+    docs: DataFrame,
+    order_col: str,
+    budget: int,
+    n_parts: int = 16,
+) -> DataFrame:
+    """Concat-then-chunk pack ids over `order_col` order via the two-level
+    distributed prefix sum (per-partition cumsum + broadcast offsets —
+    never a single-partition global window; same decomposition as the
+    oracle-checked `sequence_packing` query in queries.py).  Adds
+    `n_tokens` and `pack_id` columns."""
+    base = docs.withColumn(
+        "n_tokens", F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    )
+    parts = (
+        base.repartitionByRange(n_parts, order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = parts.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
+    by_pid = {r["_pid"]: r["t"] for r in totals}
+    offsets, acc = [], 0
+    for pid in sorted(by_pid):
+        offsets.append((pid, acc))
+        acc += by_pid[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset bigint")
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    return (
+        parts.withColumn("_cs", F.sum("n_tokens").over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("_offset") + F.col("_cs") - F.col("n_tokens")) / F.lit(budget)).cast("bigint"),
+        )
+        .drop("_pid", "_cs", "_offset")
+    )
+
+
 def curate(
     spark: SparkSession,
     input_path: str,
@@ -120,6 +159,7 @@ def curate(
     max_dup_permille: int = 300,
     jaccard_threshold: float = 0.8,
     components: str = "minlabel",
+    pack_budget: int | None = None,
 ) -> dict:
     """Run the curation funnel over an extract-pipeline output table;
     returns per-stage counts."""
@@ -197,6 +237,16 @@ def curate(
         (toks >= min_tokens) & (dup_permille <= max_dup_permille)
     )
     stats["after_quality_filter"] = docs.count()
+
+    # 3b. optional sequence packing: training-ready pack ids over the
+    # surviving docs (url order), so the exported JSONL can be consumed as
+    # concat-then-chunk sequences without another pass over the corpus
+    if pack_budget:
+        sc_before = caches.persistent_ids(sc)
+        docs = assign_packs(spark, docs, "url", pack_budget)
+        ckpt_handles += caches.checkpoint_handles_since(sc, sc_before)
+        stats["n_packs"] = docs.agg(F.countDistinct("pack_id")).first()[0]
+        stats["pack_budget"] = pack_budget
 
     # 4. export
     from extractor_spark.spark.sources import write_output

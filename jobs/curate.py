@@ -25,6 +25,8 @@ def main(argv=None) -> int:
     p.add_argument("--jaccard", type=float, default=0.8)
     p.add_argument("--components", choices=["minlabel", "star"], default="minlabel",
                    help="connected-components algorithm: minlabel (rounds ~ diameter) or star (log-diameter, for long near-dup chains)")
+    p.add_argument("--pack-budget", type=int, default=None,
+                   help="optional: assign concat-then-chunk pack ids at this token budget (adds pack_id/n_tokens to the JSONL)")
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--from-submit", action="store_true")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
@@ -48,6 +50,7 @@ def main(argv=None) -> int:
         max_dup_permille=args.max_dup_permille,
         jaccard_threshold=args.jaccard,
         components=args.components,
+        pack_budget=args.pack_budget,
     )
     print(json.dumps(stats))
     return 0

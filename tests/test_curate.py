@@ -117,3 +117,38 @@ def test_curate_star_components_parity(spark, tmp_path):
         return out
 
     assert kept(tmp_path / "c_ml") == kept(tmp_path / "c_st")
+
+
+def test_curate_pack_budget_matches_sequential_semantics(spark, tmp_path):
+    """--pack-budget: pack ids from the distributed prefix sum must equal
+    the plain sequential cumsum over url order (ground truth recomputed
+    here), and the exported JSONL carries pack_id/n_tokens."""
+    from extractor_spark.spark.curate import curate
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    docs = [
+        {"url": f"https://p.test/{i:03d}", "markdown": "m",
+         "text": " ".join(words[(i + j) % len(words)] + str(i) for j in range(12 + i % 7))}
+        for i in range(30)
+    ]
+    inp = str(tmp_path / "extract_out_pack")
+    spark.createDataFrame(pd.DataFrame(docs)).write.parquet(inp)
+    out = str(tmp_path / "packed")
+
+    stats = curate(spark, inp, out, min_tokens=5, pack_budget=64)
+    assert stats["after_quality_filter"] == 30  # all distinct + long enough
+    assert stats["pack_budget"] == 64 and stats["n_packs"] >= 3
+
+    rows = []
+    for f in sorted((tmp_path / "packed").glob("*.json")):
+        for line in f.read_text().splitlines():
+            rows.append(json.loads(line))
+    assert len(rows) == 30 and all("pack_id" in r and "n_tokens" in r for r in rows)
+    rows.sort(key=lambda r: r["url"])
+    cum = 0
+    for r in rows:
+        assert r["n_tokens"] == len(r["text"].split())
+        assert r["pack_id"] == cum // 64  # start-offset assignment
+        cum += r["n_tokens"]
+    assert len({r["pack_id"] for r in rows}) == stats["n_packs"]
