@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
     pages_path = os.path.join(workdir, "pages.parquet")
     out_path = os.path.join(workdir, "out")
 
-    write_pages(spark, pages_path, n_pages=50)
+    write_pages(spark, pages_path, n_pages=50, include_pdfs=True)
     conf = PipelineConfig(
         pages_path=pages_path,
         output_path=out_path,

@@ -55,8 +55,10 @@ def main() -> None:
     pages_path = os.path.join(workdir, "pages.parquet")
     out_path = os.path.join(workdir, "out")
 
-    # corpus generation — not part of the timed pipeline
-    write_pages(spark, pages_path, n_pages=n_pages)
+    # corpus generation — not part of the timed pipeline (PDF pages
+    # included: the headline convert number covers the payload-magic
+    # routing path too)
+    write_pages(spark, pages_path, n_pages=n_pages, include_pdfs=True)
 
     # untimed warmup (512 rows through the full stage chain): pays JVM JIT,
     # codegen, and Python-worker spawn once, as a long-running cluster would.

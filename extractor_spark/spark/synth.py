@@ -228,12 +228,40 @@ def fixture_rows() -> list[dict]:
     return rows
 
 
+def pdf_rows(n: int = 8) -> list[dict]:
+    """Deterministic PDF pages (engine/pdfwrite.py): exercises the convert
+    stage's payload-magic routing (north_rule "PDF/layout parse") inside
+    the same synthetic corpus.  Opt-in via include_pdfs — corpora whose
+    tests pin exact failure sets keep the default."""
+    from extractor_spark.engine.pdfwrite import text_to_pdf
+
+    rows = []
+    for i in range(n):
+        text = (
+            f"Synthetic report {i}\n\n"
+            f"First paragraph line of document {i}.\n"
+            f"Second line with shared vocabulary token{i % 3}.\n\n"
+            f"Closing remark {i}."
+        )
+        rows.append(
+            {
+                "url": f"https://synth.test/pdf/{i}.pdf",
+                "warc_ts": (_BASE_TS + datetime.timedelta(hours=48 + i)).replace(tzinfo=None),
+                "html": text_to_pdf(text),
+                "text": None,
+                "lang": "en",
+            }
+        )
+    return rows
+
+
 def build_pages_df(
     spark: SparkSession,
     n_pages: int,
     include_fixtures: bool = True,
     dup_every: int = 20,
     partitions: int | None = None,
+    include_pdfs: bool = False,
 ) -> DataFrame:
     """Distributed deterministic generation: one task per id-range, no
     driver-side loop — the same code path scales to bench corpora."""
@@ -254,10 +282,19 @@ def build_pages_df(
     if include_fixtures:
         fixtures = spark.createDataFrame(pd.DataFrame(fixture_rows()), schema=PAGES_SCHEMA)
         df = df.unionByName(fixtures)
+    if include_pdfs:
+        pdfs = spark.createDataFrame(pd.DataFrame(pdf_rows()), schema=PAGES_SCHEMA)
+        df = df.unionByName(pdfs)
     return df
 
 
 def write_pages(
-    spark: SparkSession, path: str, n_pages: int, include_fixtures: bool = True
+    spark: SparkSession,
+    path: str,
+    n_pages: int,
+    include_fixtures: bool = True,
+    include_pdfs: bool = False,
 ) -> None:
-    build_pages_df(spark, n_pages, include_fixtures).write.mode("overwrite").parquet(path)
+    build_pages_df(
+        spark, n_pages, include_fixtures, include_pdfs=include_pdfs
+    ).write.mode("overwrite").parquet(path)

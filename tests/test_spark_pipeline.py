@@ -478,3 +478,24 @@ def test_pdf_payloads_route_through_layout_extractor(spark, tmp_path):
     assert out["https://p.test/ws.pdf"]["markdown"] == "padded"
     assert out["https://p.test/page"]["markdown"] == "Fine\n====\n\nbody"
     assert "%PDF-" in out["https://p.test/about-pdf"]["markdown"]
+
+
+def test_synth_corpus_with_pdfs_converts_cleanly(spark, tmp_path):
+    """include_pdfs=True (entry + bench corpora): the deterministic PDF
+    rows flow through the convert stage with zero failures and layout
+    text in markdown."""
+    from extractor_spark.spark.synth import write_pages
+
+    pages_path = str(tmp_path / "pdfsynth.parquet")
+    write_pages(spark, pages_path, n_pages=20, include_pdfs=True)
+    out = str(tmp_path / "pdfsynth_out")
+    summary = run_pipeline(
+        spark,
+        PipelineConfig(pages_path=pages_path, output_path=out, n_buckets=4, resume=False),
+    )
+    assert summary["convert_failures"] == 0
+    rows = spark.read.parquet(out).filter("url like 'https://synth.test/pdf/%'").collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["markdown"].startswith("Synthetic report")
+        assert "\n\n" in r["markdown"]  # blank-line layout recovered
