@@ -251,6 +251,46 @@ def _parse_dict(buf: bytes, pos: int) -> tuple[dict, int]:
 # Document loader
 # ---------------------------------------------------------------------------
 
+def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    """Reverse PNG row filters (RFC 2083 §6) as used by PDF Predictor ≥ 10:
+    each row is a filter-type byte followed by `rowlen` filtered bytes."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = max(1, (columns * colors * bpc + 7) // 8)
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        ft = data[pos]
+        pos += 1
+        row = bytearray(data[pos:pos + rowlen])
+        pos += rowlen
+        if len(row) < rowlen:
+            row.extend(b"\x00" * (rowlen - len(row)))  # truncated: tolerate
+        if ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        # ft == 0 (None) or unknown: pass through
+        out += row
+        prev = row
+    return bytes(out)
+
+
 class PdfDocument:
     def __init__(self, objects: dict[int, Any]) -> None:
         self.objects = objects
@@ -349,13 +389,16 @@ class PdfDocument:
         return obj
 
     def stream_data(self, st: Stream) -> bytes:
-        """Apply /Filter chain.  Supports FlateDecode + ASCIIHexDecode."""
+        """Apply /Filter chain.  Supports FlateDecode (incl. PNG
+        predictors via /DecodeParms) + ASCIIHexDecode."""
         data = st.raw
         filt = self.resolve(st.dict.get("Filter"))
         if filt is None:
             return data
         filters = filt if isinstance(filt, list) else [filt]
-        for f in filters:
+        parms = self.resolve(st.dict.get("DecodeParms") or st.dict.get("DP"))
+        parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+        for f, pm in zip(filters, parms_list):
             f = str(self.resolve(f))
             if f in ("FlateDecode", "Fl"):
                 try:
@@ -363,6 +406,14 @@ class PdfDocument:
                 except zlib.error:
                     # tolerate trailing garbage / missing checksum
                     data = zlib.decompressobj().decompress(data)
+                pm = self.resolve(pm)
+                if isinstance(pm, dict):
+                    pred = self.resolve(pm.get("Predictor", 1)) or 1
+                    if isinstance(pred, (int, float)) and pred >= 10:
+                        cols = int(self.resolve(pm.get("Columns", 1)) or 1)
+                        colors = int(self.resolve(pm.get("Colors", 1)) or 1)
+                        bpc = int(self.resolve(pm.get("BitsPerComponent", 8)) or 8)
+                        data = _png_unpredict(data, cols, colors, bpc)
             elif f in ("ASCIIHexDecode", "AHx"):
                 hx = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">")[0])
                 if len(hx) % 2:

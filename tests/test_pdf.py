@@ -551,3 +551,42 @@ def test_garbage_keyword_does_not_clobber_valid_object():
     pdf = _minimal_pdf(content)
     appended = pdf + b"4 0 obj\ngarbagekeyword\nendobj\n"
     assert pdf_to_text(appended) == "keep me"
+
+
+def test_flate_png_predictor_up_and_sub():
+    """ObjStm whose Flate payload uses PNG row predictors (/DecodeParms
+    /Predictor 12): the un-prediction must recover the object stream."""
+    inner = (b"<< /Type /Catalog /Pages 2 0 R >>"
+             b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+             b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+             b"/Resources << /Font << /F1 5 0 R >> >> >>")
+    o1 = b"<< /Type /Catalog /Pages 2 0 R >>"
+    o2 = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    header = f"1 0 2 {len(o1)} 3 {len(o1) + len(o2)} ".encode()
+    payload = header + inner
+
+    # PNG-encode with filter type 2 (Up), Columns=24
+    cols = 24
+    rows = [payload[i:i + cols].ljust(cols, b"\x00")
+            for i in range(0, len(payload), cols)]
+    enc = bytearray()
+    prev = bytes(cols)
+    for r in rows:
+        enc.append(2)
+        enc += bytes((r[i] - prev[i]) & 0xFF for i in range(cols))
+        prev = r
+    objstm = zlib.compress(bytes(enc))
+
+    content = b"BT /F1 12 Tf 72 720 Td (predicted) Tj ET"
+    pdf = (
+        b"%PDF-1.5\n"
+        + (f"9 0 obj\n<< /Type /ObjStm /N 3 /First {len(header)} "
+           f"/Length {len(objstm)} /Filter /FlateDecode "
+           f"/DecodeParms << /Predictor 12 /Columns {cols} >> >>\nstream\n").encode()
+        + objstm + b"\nendstream\nendobj\n"
+        + f"4 0 obj\n<< /Length {len(content)} >>\nstream\n".encode()
+        + content + b"\nendstream\nendobj\n"
+        + b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert pdf_to_text(pdf) == "predicted"
