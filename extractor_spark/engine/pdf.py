@@ -732,7 +732,20 @@ def extract_runs(doc: PdfDocument, page: dict) -> list[Run]:
 
     res = doc.resolve(page.get("Resources")) or {}
     runs: list[Run] = []
-    _interpret(doc, buf, res if isinstance(res, dict) else {}, _ID, runs, 0)
+    # /Rotate: compose the display rotation into the base CTM so layout
+    # assembly (line grouping by y, run order by x) sees reading-oriented
+    # geometry for landscape/scanned pages.  Only relative geometry
+    # matters downstream, so no MediaBox translation is needed.
+    try:
+        rot = int(doc.resolve(page.get("Rotate")) or 0) % 360
+    except (TypeError, ValueError):
+        rot = 0
+    base = {
+        90: (0.0, -1.0, 1.0, 0.0, 0.0, 0.0),
+        180: (-1.0, 0.0, 0.0, -1.0, 0.0, 0.0),
+        270: (0.0, 1.0, -1.0, 0.0, 0.0, 0.0),
+    }.get(rot, _ID)
+    _interpret(doc, buf, res if isinstance(res, dict) else {}, base, runs, 0)
     return runs
 
 

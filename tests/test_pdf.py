@@ -590,3 +590,16 @@ def test_flate_png_predictor_up_and_sub():
         + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
     )
     assert pdf_to_text(pdf) == "predicted"
+
+
+def test_page_rotate_90_reads_upright():
+    """Landscape content (text advancing along +y, Tm rotation) on a page
+    with /Rotate 90: composing the display rotation into the CTM must
+    yield normal reading order, not one-glyph-per-line garbage."""
+    content = (b"BT /F1 12 Tf 0 1 -1 0 100 72 Tm (first rotated line) Tj "
+               b"0 1 -1 0 114 72 Tm (second rotated line) Tj ET")
+    pdf = _minimal_pdf(content)
+    rotated = pdf.replace(b"/Contents 4 0 R", b"/Contents 4 0 R /Rotate 90")
+    assert pdf_to_text(rotated) == "first rotated line\nsecond rotated line"
+    # same content WITHOUT /Rotate: vertical baselines -> not reading order
+    assert pdf_to_text(pdf) != "first rotated line\nsecond rotated line"
