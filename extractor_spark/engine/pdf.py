@@ -256,6 +256,11 @@ def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
     each row is a filter-type byte followed by `rowlen` filtered bytes."""
     bpp = max(1, (colors * bpc + 7) // 8)
     rowlen = max(1, (columns * colors * bpc + 7) // 8)
+    if rowlen > len(data):
+        # hostile /Columns (a row longer than the whole stream) would
+        # allocate rowlen-sized buffers and loop rowlen times per row —
+        # a tiny crafted PDF must not cost GBs/hours; pass through instead
+        return data
     out = bytearray()
     prev = bytearray(rowlen)
     pos = 0
@@ -288,6 +293,19 @@ def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
         # ft == 0 (None) or unknown: pass through
         out += row
         prev = row
+    return bytes(out)
+
+
+def _tiff_unpredict(data: bytes, columns: int, colors: int) -> bytes:
+    """Reverse TIFF Predictor 2 (horizontal differencing, 8-bit samples)."""
+    rowlen = max(1, columns * colors)
+    if rowlen > len(data):
+        return data
+    out = bytearray(data)
+    for start in range(0, len(out), rowlen):
+        end = min(start + rowlen, len(out))
+        for i in range(start + colors, end):
+            out[i] = (out[i] + out[i - colors]) & 0xFF
     return bytes(out)
 
 
@@ -397,7 +415,11 @@ class PdfDocument:
             return data
         filters = filt if isinstance(filt, list) else [filt]
         parms = self.resolve(st.dict.get("DecodeParms") or st.dict.get("DP"))
-        parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+        parms_list = list(parms) if isinstance(parms, list) else [parms] * len(filters)
+        if len(parms_list) < len(filters):
+            # malformed short /DecodeParms array: zip truncation would
+            # silently SKIP later filters — pad instead
+            parms_list += [None] * (len(filters) - len(parms_list))
         for f, pm in zip(filters, parms_list):
             f = str(self.resolve(f))
             if f in ("FlateDecode", "Fl"):
@@ -409,11 +431,16 @@ class PdfDocument:
                 pm = self.resolve(pm)
                 if isinstance(pm, dict):
                     pred = self.resolve(pm.get("Predictor", 1)) or 1
-                    if isinstance(pred, (int, float)) and pred >= 10:
+                    if isinstance(pred, (int, float)):
                         cols = int(self.resolve(pm.get("Columns", 1)) or 1)
                         colors = int(self.resolve(pm.get("Colors", 1)) or 1)
                         bpc = int(self.resolve(pm.get("BitsPerComponent", 8)) or 8)
-                        data = _png_unpredict(data, cols, colors, bpc)
+                        if pred >= 10:
+                            data = _png_unpredict(data, cols, colors, bpc)
+                        elif pred == 2 and bpc == 8:
+                            data = _tiff_unpredict(data, cols, colors)
+                        # pred == 2 with sub-byte samples: not seen in
+                        # crawl PDFs; left encoded (lenient pass-through)
             elif f in ("ASCIIHexDecode", "AHx"):
                 hx = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">")[0])
                 if len(hx) % 2:
@@ -444,15 +471,22 @@ class PdfDocument:
                 node = node.dict
             if not isinstance(node, dict) or depth > 64:
                 return
-            res = self.resolve(node.get("Resources")) or inherited
+            res = self.resolve(node.get("Resources")) or (
+                inherited.get("Resources") if inherited else None
+            )
+            rot = node.get("Rotate")
+            if rot is None and inherited:
+                rot = inherited.get("Rotate")
             if node.get("Type") == Name("Page"):
                 page = dict(node)
                 if res is not None:
                     page["Resources"] = res
+                if rot is not None and "Rotate" not in page:
+                    page["Rotate"] = rot  # /Rotate inherits like /Resources
                 out.append(page)
                 return
             for kid in self.resolve(node.get("Kids")) or []:
-                walk(kid, res, depth + 1)
+                walk(kid, {"Resources": res, "Rotate": rot}, depth + 1)
 
         if root is not None:
             walk(root, None, 0)

@@ -243,7 +243,10 @@ def curate(
     # concat-then-chunk sequences without another pass over the corpus
     if pack_budget:
         sc_before = caches.persistent_ids(sc)
-        docs = assign_packs(spark, docs, "url", pack_budget)
+        # checkpoint the packed result too: both the n_packs count and the
+        # export write consume it, and the post-checkpoint window+join
+        # portion of assign_packs would otherwise run twice
+        docs = assign_packs(spark, docs, "url", pack_budget).localCheckpoint()
         ckpt_handles += caches.checkpoint_handles_since(sc, sc_before)
         stats["n_packs"] = docs.agg(F.countDistinct("pack_id")).first()[0]
         stats["pack_budget"] = pack_budget

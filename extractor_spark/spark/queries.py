@@ -1673,49 +1673,20 @@ ORDER BY pack_id
 
 
 def _sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from .curate import assign_packs
+
     _views(spark, sf_dir)
-    toks = spark.sql(
-        "SELECT doc_id, CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens "
-        "FROM documents"
-    )
-    # materialize ONE range partitioning and derive both passes from it, so
-    # partition ids are consistent between the offsets pass and the final
-    # pass (correctness does not depend on where the sampled boundaries
-    # fall — only on ranges being ordered by partition id, which
-    # repartitionByRange guarantees); checkpoint blocks are registered for
-    # release_query_caches (the lazy result still reads them)
+    docs = spark.table("documents").select("doc_id", "text")
+    # assign_packs (spark/curate.py) is the single implementation of the
+    # two-level distributed prefix sum; its checkpoint blocks are
+    # registered for release_query_caches since the result is lazy
     sc = spark.sparkContext
     before = caches.persistent_ids(sc)
-    parts = (
-        toks.repartitionByRange(16, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
+    packed = assign_packs(spark, docs, "doc_id", _PACK_BUDGET)
     for h in caches.checkpoint_handles_since(sc, before):
         caches.register(h)
-    totals = parts.groupBy("pid").agg(F.sum("n_tokens").alias("ptotal")).collect()
-    by_pid = {r["pid"]: r["ptotal"] for r in totals}
-    offsets, acc = [], 0
-    for pid in sorted(by_pid):
-        offsets.append((pid, acc))
-        acc += by_pid[pid]
-    off_df = spark.createDataFrame(offsets, "pid int, offset bigint")
-
-    w = Window.partitionBy("pid").orderBy("doc_id")
-    packed = (
-        parts.withColumn("cs_local", F.sum("n_tokens").over(w))
-        .join(F.broadcast(off_df), "pid")
-        .withColumn(
-            "pack_id",
-            F.floor(
-                (F.col("offset") + F.col("cs_local") - F.col("n_tokens"))
-                / F.lit(_PACK_BUDGET)
-            ).cast("bigint"),
-        )
-    )
     return (
         packed.groupBy("pack_id")
         .agg(

@@ -603,3 +603,65 @@ def test_page_rotate_90_reads_upright():
     assert pdf_to_text(rotated) == "first rotated line\nsecond rotated line"
     # same content WITHOUT /Rotate: vertical baselines -> not reading order
     assert pdf_to_text(pdf) != "first rotated line\nsecond rotated line"
+
+
+def test_hostile_predictor_columns_cheap():
+    """/Columns 2e9 on a tiny stream must not allocate GBs or loop for
+    hours — the un-predictor bails when a row exceeds the stream."""
+    import time
+    payload = zlib.compress(b"\x02hello world")
+    pdf = _minimal_pdf(b"")
+    pdf = pdf.replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        (f"<< /Length {len(payload)} /Filter /FlateDecode "
+         f"/DecodeParms << /Predictor 12 /Columns 2000000000 >> >>\nstream\n").encode()
+        + payload + b"\nendstream",
+    )
+    t0 = time.time()
+    assert isinstance(pdf_to_text(pdf), str)
+    assert time.time() - t0 < 5.0
+
+
+def test_rotate_inherited_from_pages_node():
+    """/Rotate on the /Pages tree node (standard scanner output) must
+    apply to leaf pages that lack their own /Rotate."""
+    content = (b"BT /F1 12 Tf 0 1 -1 0 100 72 Tm (tree rotated) Tj "
+               b"0 1 -1 0 114 72 Tm (second line) Tj ET")
+    pdf = _minimal_pdf(content)
+    rotated = pdf.replace(b"/Kids [3 0 R] /Count 1", b"/Kids [3 0 R] /Count 1 /Rotate 90")
+    assert pdf_to_text(rotated) == "tree rotated\nsecond line"
+
+
+def test_short_decodeparms_array_does_not_skip_filters():
+    """/Filter [AHx Fl] with a one-element /DecodeParms array: zip
+    truncation must not silently skip the Flate stage."""
+    content = b"BT /F1 12 Tf 72 700 Td (both filters) Tj ET"
+    payload = zlib.compress(content).hex().encode() + b">"
+    pdf = _minimal_pdf(b"")
+    pdf = pdf.replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        (f"<< /Length {len(payload)} /Filter [/ASCIIHexDecode /FlateDecode] "
+         f"/DecodeParms [null] >>\nstream\n").encode() + payload + b"\nendstream",
+    )
+    assert pdf_to_text(pdf) == "both filters"
+
+
+def test_tiff_predictor_2_reversed():
+    raw = b"BT /F1 12 Tf 72 700 Td (tiffpred) Tj ET"
+    cols = 16
+    # TIFF horizontal differencing per row (colors=1)
+    enc = bytearray()
+    for start in range(0, len(raw), cols):
+        row = raw[start:start + cols]
+        enc.append(row[0])
+        for i in range(1, len(row)):
+            enc.append((row[i] - row[i - 1]) & 0xFF)
+    payload = zlib.compress(bytes(enc))
+    pdf = _minimal_pdf(b"")
+    pdf = pdf.replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        (f"<< /Length {len(payload)} /Filter /FlateDecode "
+         f"/DecodeParms << /Predictor 2 /Columns {cols} >> >>\nstream\n").encode()
+        + payload + b"\nendstream",
+    )
+    assert pdf_to_text(pdf) == "tiffpred"
