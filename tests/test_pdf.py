@@ -665,3 +665,14 @@ def test_tiff_predictor_2_reversed():
         + payload + b"\nendstream",
     )
     assert pdf_to_text(pdf) == "tiffpred"
+
+
+def test_encrypted_pdf_degrades_to_empty_not_garbage():
+    """/Encrypt PDFs (RC4/AES streams) are not decryptable here by design;
+    the pin: they must yield empty/garbage-free text without raising."""
+    content = bytes(b ^ 0xA7 for b in b"BT /F1 12 Tf 72 700 Td (secret) Tj ET")
+    pdf = _minimal_pdf(content)  # stream bytes are 'encrypted' garbage
+    pdf = pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt << /Filter /Standard /V 2 >>")
+    out = pdf_to_text(pdf)
+    assert isinstance(out, str)
+    assert "secret" not in out
