@@ -50,7 +50,11 @@ _msmarkedsectionclose = re.compile(r"]\s*>")
 _declname = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
 
 _CDATA_ELEMS = ("script", "style")
+_CDATA_CLOSE = {
+    tag: re.compile(r"</\s*%s\s*>" % tag, re.I) for tag in _CDATA_ELEMS
+}
 _NEXT_INCOMPLETE = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
+_ASCII_ALPHA = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
 
 def tokenize(data: str, builder) -> None:
@@ -89,7 +93,9 @@ def tokenize(data: str, builder) -> None:
 
         # ---- markup at data[i] == '<' --------------------------------
         c1 = data[i + 1] if i + 1 < n else ""
-        if _starttagopen.match(data, i) and cdata_elem is None:
+        # `c1 in _ASCII_ALPHA` ≡ _starttagopen.match(data, i): the stdlib
+        # regex is exactly `<[a-zA-Z]` and data[i] == '<' here
+        if c1 in _ASCII_ALPHA and cdata_elem is None:
             # start tag
             # fast path: attribute-less tag — _tagfind consumes the name and
             # any trailing whitespace; a '>' right after means the verbose
@@ -101,7 +107,7 @@ def tokenize(data: str, builder) -> None:
                 builder.handle_starttag(tag, [])
                 if tag in _CDATA_ELEMS:
                     cdata_elem = tag
-                    cdata_close = re.compile(r"</\s*%s\s*>" % tag, re.I)
+                    cdata_close = _CDATA_CLOSE[tag]
                 i = tm0.end() + 1
                 continue
             # fast path: tag WITH attributes — drive _attrfind (the stdlib's
@@ -127,7 +133,7 @@ def tokenize(data: str, builder) -> None:
                         or attrvalue[:1] == '"' == attrvalue[-1:]
                     ):
                         attrvalue = attrvalue[1:-1]
-                    if attrvalue:
+                    if attrvalue and "&" in attrvalue:
                         attrvalue = unescape(attrvalue)
                     attrs.append((attrname.lower(), attrvalue))
                     k = am.end()
@@ -137,7 +143,7 @@ def tokenize(data: str, builder) -> None:
                     builder.handle_starttag(tag, attrs)
                     if tag in _CDATA_ELEMS:
                         cdata_elem = tag
-                        cdata_close = re.compile(r"</\s*%s\s*>" % tag, re.I)
+                        cdata_close = _CDATA_CLOSE[tag]
                     i = k + 1
                     continue
                 if nxt2 == "/" and startswith("/>", k):
@@ -187,7 +193,7 @@ def tokenize(data: str, builder) -> None:
                     or attrvalue[:1] == '"' == attrvalue[-1:]
                 ):
                     attrvalue = attrvalue[1:-1]
-                if attrvalue:
+                if attrvalue and "&" in attrvalue:
                     attrvalue = unescape(attrvalue)
                 attrs.append((attrname.lower(), attrvalue))
                 k = am.end()
@@ -202,7 +208,7 @@ def tokenize(data: str, builder) -> None:
                 builder.handle_starttag(tag, attrs)
                 if tag in _CDATA_ELEMS:
                     cdata_elem = tag
-                    cdata_close = re.compile(r"</\s*%s\s*>" % tag, re.I)
+                    cdata_close = _CDATA_CLOSE[tag]
             i = endpos
             continue
 

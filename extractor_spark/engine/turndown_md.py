@@ -135,16 +135,49 @@ def _wc_next(prev, current):
 def collapse_whitespace(element: Element) -> None:
     """In-place whitespace collapse, a faithful port of the traversal used by
     turndown's RootNode (skips <pre> subtrees, strips text around blocks,
-    protects space next to inline void elements)."""
+    protects space next to inline void elements).
+
+    Traversal is the index-stack equivalent of turndown's ``next(prev,
+    current)`` walk (kept above as ``_wc_next`` for documentation): each
+    element with children is processed on entry AND again on ascent, exactly
+    as the pointer walk re-visits a parent on the way up, but sibling
+    advancement is O(1) instead of ``children.index``'s O(width) rescan.
+    Equivalence is golden-locked by the converter corpus
+    (tests/test_converters_golden.py, test_fixtures_e2e.py).
+    """
     if not element.children or element.tag == "pre":
         return
 
     prev_text: Text | None = None
     keep_leading_ws = False
-    prev = None
-    node = _wc_next(None, element)
+    # stack of [container, next_child_idx]; top identifies the current node
+    stack = [[element, 0]]
 
-    while node is not element and node is not None:
+    while stack:
+        top = stack[-1]
+        parent, idx = top
+        siblings = parent.children
+        if idx >= len(siblings):
+            # children exhausted — ascend: re-process `parent` (the pointer
+            # walk returns to it before moving to its sibling), except the
+            # root, which the original loop never processes
+            stack.pop()
+            if not stack:
+                break
+            tag = parent.tag
+            if tag in BLOCK_ELEMENTS or tag == "br":
+                if prev_text is not None and prev_text.data.endswith(" "):
+                    prev_text.data = prev_text.data[:-1]
+                prev_text = None
+                keep_leading_ws = False
+            elif tag in VOID_ELEMENTS or tag == "pre":
+                prev_text = None
+                keep_leading_ws = True
+            elif prev_text is not None:
+                keep_leading_ws = False
+            stack[-1][1] += 1
+            continue
+        node = siblings[idx]
         ntype = node.node_type
         if ntype == TEXT_NODE:
             data = node.data
@@ -161,28 +194,32 @@ def collapse_whitespace(element: Element) -> None:
             ):
                 text = text[1:]
             if not text:
-                node = _wc_remove(node)
+                del siblings[idx]  # next sibling slides into idx
+                node.parent = None
                 continue
             node.data = text
             prev_text = node
+            top[1] = idx + 1
         elif ntype == ELEMENT_NODE:
-            if node.tag in BLOCK_ELEMENTS or node.tag == "br":
+            tag = node.tag
+            if tag in BLOCK_ELEMENTS or tag == "br":
                 if prev_text is not None and prev_text.data.endswith(" "):
                     prev_text.data = prev_text.data[:-1]
                 prev_text = None
                 keep_leading_ws = False
-            elif node.tag in VOID_ELEMENTS or node.tag == "pre":
+            elif tag in VOID_ELEMENTS or tag == "pre":
                 prev_text = None
                 keep_leading_ws = True
             elif prev_text is not None:
                 keep_leading_ws = False
+            if tag != "pre" and node.children:
+                stack.append([node, 0])  # descend; parent idx advances on ascent
+            else:
+                top[1] = idx + 1
         else:  # comments, PIs — dropped by the collapse pass
-            node = _wc_remove(node)
+            del siblings[idx]
+            node.parent = None
             continue
-
-        nxt = _wc_next(prev, node)
-        prev = node
-        node = nxt
 
     if prev_text is not None:
         if prev_text.data.endswith(" "):
