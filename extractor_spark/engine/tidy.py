@@ -36,15 +36,21 @@ def tidy_dom(html: str, include_images: bool = False):
     if not include_images:
         denylist = denylist | IMAGE_ELEMENTS
 
-    # Broken-attribute scrub over every element (converters.ts:241-254).
+    # Single walk fusing the broken-attribute scrub (converters.ts:241-254)
+    # with the denylist collection (converters.ts:323-325): the reference
+    # runs them as two passes, but the scrub never adds/removes elements, so
+    # scrubbing and marking in one traversal is observationally identical.
+    # "head" is in the denylist, so the whole head (incl. <title>) goes away
+    # before serialization.
+    doomed = []
     for el in (doc.html, *doc.html.iter_elements()):
-        bad = [name for name in el.attrs if '"' in name]
-        for name in bad:
-            del el.attrs[name]
-
-    # Element denylist removal (converters.ts:323-325). "head" is in the
-    # list, so the whole head (incl. <title>) goes away before serialization.
-    doomed = [el for el in doc.html.iter_elements() if el.tag in denylist]
+        attrs = el.attrs
+        if attrs:
+            bad = [name for name in attrs if '"' in name]
+            for name in bad:
+                del attrs[name]
+        if el.tag in denylist and el is not doc.html:
+            doomed.append(el)
     for el in doomed:
         if el.parent is not None:
             el.detach()

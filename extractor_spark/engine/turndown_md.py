@@ -59,6 +59,12 @@ _JS_WS_ONLY_RE = re.compile(f"^[{_JS_WS}]*$")
 _LEAD_TRN_RE = re.compile(r"^[\t\r\n]+")
 # turndown postProcess trailing strip: /[\t\r\n\s]+$/ — equivalent to JS \s.
 _TRAIL_WS_RE = re.compile(f"[{_JS_WS}]+$")
+# _JS_WS expanded to literal characters (it embeds the regex range
+#  - ) so str.strip can replace the anchored regexes above —
+# strip(charset) ≡ sub("", anchored-charset-run) for whole-string trims
+_JS_WS_CHARS = " \t\r\n\f\v\xa0 " + "".join(
+    chr(c) for c in range(0x2000, 0x200B)
+) + "    　﻿"
 
 _EDGE_WS_RE = re.compile(
     f"^(([ \\t\\r\\n]*)([{_JS_WS}]*))"
@@ -412,8 +418,9 @@ class TurndownConverter:
 
         self._tc = tc
         output = self._process(root)
-        output = _LEAD_TRN_RE.sub("", output)
-        return _TRAIL_WS_RE.sub("", output)
+        # ≡ _LEAD_TRN_RE / _TRAIL_WS_RE subs (charset-identity fuzz-checked);
+        # str.strip avoids rescanning the whole document string
+        return output.lstrip("\t\r\n").rstrip(_JS_WS_CHARS)
 
     # -- core walk --------------------------------------------------------
     def _process(self, parent) -> str:
