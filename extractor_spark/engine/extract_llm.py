@@ -260,6 +260,24 @@ class ExtractionError(RuntimeError):
     pass
 
 
+# (schema object) -> (normalized form, LLM-facing form); identity-keyed with
+# a strong ref to the key object so a freed dict's id can never alias a live
+# entry.  Bounded: extraction jobs use a handful of schemas per process.
+_SCHEMA_FORMS_CACHE: dict[int, tuple] = {}
+
+
+def _schema_forms(schema: dict) -> tuple:
+    hit = _SCHEMA_FORMS_CACHE.get(id(schema))
+    if hit is not None and hit[0] is schema:
+        return hit[1], hit[2]
+    normalized = normalize_schema(schema)  # idempotent on the internal form
+    llm_schema = transform_schema_for_llm(normalized)
+    if len(_SCHEMA_FORMS_CACHE) >= 16:
+        _SCHEMA_FORMS_CACHE.clear()
+    _SCHEMA_FORMS_CACHE[id(schema)] = (schema, normalized, llm_schema)
+    return normalized, llm_schema
+
+
 def extract_with_llm(
     content: str,
     schema: dict,
@@ -271,8 +289,14 @@ def extract_with_llm(
 ) -> dict:
     """extractors.ts:151-250 — truncate → prompt → structured call →
     fallbacks (tool-call args, repaired JSON string) → URL unescape →
-    sanitize against the original schema."""
-    schema = normalize_schema(schema)  # idempotent on the internal form
+    sanitize against the original schema.
+
+    The normalized/LLM-facing schema forms are memoized per schema *object*
+    (a pipeline task passes the same config dict for every row, so the
+    pure-schema recursions run once per task instead of once per row).
+    Treat the schema dict as immutable after first use — in-place mutation
+    with the same object identity would serve the stale forms."""
+    schema, llm_schema = _schema_forms(schema)
     truncated = (
         truncate_content(
             format,
@@ -288,7 +312,6 @@ def extract_with_llm(
         format, truncated, custom_prompt, extraction_context
     )
 
-    llm_schema = transform_schema_for_llm(schema)
     response = llm.invoke(prompt, llm_schema)
     usage = response.usage or {}
 
