@@ -1297,6 +1297,72 @@ def hyperplane_lsh_pairs(
     )
 
 
+def _bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the constant-size-broadcast variant of
+    ``decontaminate_docs`` (which broadcasts the exact fingerprint set).
+
+    Scale shape: with a contamination set of millions of benchmark documents
+    at 100 TB, the exact anti-join broadcasts O(set-bytes); a Bloom filter
+    is ~2 bits-per-item × k seeds of fixed width regardless of fingerprint
+    size, and the probe stays map-side (zero shuffle over the corpus).
+    Hashing runs JVM-side on BOTH sides — ``xxhash64(lit(seed), text)`` —
+    so Python never re-implements the hash: the build side collects k bit
+    positions per contamination doc (k rows/doc, tiny), the probe side
+    computes the same positions and a vectorized Arrow batch ANDs them
+    against the broadcast bitmap.
+
+    Bloom semantics: no false negatives (every exactly-contaminated doc is
+    dropped — guaranteed, gated in tests), bounded false positives (extra
+    clean docs dropped; rate gated).  Rows-only: not SQL-expressible.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    _views(spark, sf_dir)
+    n_bits = 1 << 20  # 128 KiB bitmap → FP ≈ (1-e^(-k·n/m))^k; tiny at test n
+    k = 5
+
+    docs = spark.table("documents")
+
+    def pos_cols():
+        return [
+            F.pmod(F.xxhash64(F.lit(i), F.col("text")), F.lit(n_bits)).alias(
+                f"_bp{i}"
+            )
+            for i in range(k)
+        ]
+
+    contam_positions = (
+        docs.filter(F.col("doc_id") < 10).select(pos_cols()).collect()
+    )
+    bitmap = np.zeros(n_bits, dtype=bool)
+    for row in contam_positions:
+        for v in row:
+            bitmap[v] = True
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    # explicit SCALAR eval type: string type hints (PEP 563 module) defeat
+    # pyspark's hint inference
+    @pandas_udf("boolean", PandasUDFType.SCALAR)
+    def might_contain(p0, p1, p2, p3, p4):
+        bm = bc.value
+        hit = bm[p0.to_numpy()]
+        for p in (p1, p2, p3, p4):
+            hit = hit & bm[p.to_numpy()]
+        return pd.Series(hit)
+
+    probed = docs.select("doc_id", "text", *pos_cols()).withColumn(
+        "_maybe", might_contain(*[F.col(f"_bp{i}") for i in range(k)])
+    )
+    # no orderBy: the probe is scan → project → filter, a single map-only
+    # stage with zero exchanges (the point of the bloom vs the anti-join)
+    return probed.filter(~F.col("_maybe")).select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars_kept")
+    )
+
+
 def _lsh_cosine_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weak-similarity regime (the 0.45-threshold oracle-twin test regime):
     OR-heavy banding + multi-probe to hold recall at p ≈ 0.65."""
@@ -1791,6 +1857,7 @@ QUERIES: dict[str, tuple] = {
     "simhash_fingerprints": (_sql(_SIMHASH), None),
     "simhash_candidate_pairs": (_sql(_SIMHASH_PAIRS), None),
     "lsh_cosine_buckets": (_sql(_LSH_COSINE_BUCKETS), None),
+    "bloom_decontaminate": (_bloom_decontaminate, None),
     "lsh_cosine_candidate_pairs": (_lsh_cosine_candidate_pairs, None),
     "lsh_cosine_pairs_strong": (_lsh_cosine_pairs_strong, None),
     "ivf_topk": (_ivf_topk, None),

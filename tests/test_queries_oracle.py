@@ -432,3 +432,37 @@ def test_sequence_packing_window_is_partitioned_not_global(spark):
     assert window_lines, plan
     assert any("pid" in l for l in window_lines), window_lines
     assert "SinglePartition" not in plan, "global window crept into the plan"
+
+
+def test_bloom_decontaminate_soundness_and_fp_bound(spark):
+    """Bloom decontamination gates: (1) soundness — everything the bloom
+    keeps, the exact anti-join also keeps (no false negatives: every truly
+    contaminated doc is dropped); (2) bounded false positives — the bloom
+    may drop extra clean docs, but at 128 KiB / 5 seeds / tiny contamination
+    set the expected extra-drop count is ~0; (3) determinism across runs."""
+    exact_kept = {
+        r.doc_id
+        for r in ALL_QUERIES["decontaminate_docs"](spark, SF_DIR).collect()
+    }
+    bloom_rows = ALL_QUERIES["bloom_decontaminate"](spark, SF_DIR).collect()
+    bloom_kept = {r.doc_id for r in bloom_rows}
+
+    # soundness: bloom_kept ⊆ exact_kept  ⇔  exact-removed ⊆ bloom-removed
+    assert bloom_kept <= exact_kept, (
+        f"bloom kept {len(bloom_kept - exact_kept)} docs the exact "
+        "decontamination removes — bloom filters cannot have false negatives"
+    )
+    # bounded false positives (extra clean docs dropped by the bloom)
+    extra_dropped = exact_kept - bloom_kept
+    assert len(extra_dropped) <= max(1, int(0.02 * len(exact_kept))), (
+        f"bloom dropped {len(extra_dropped)} clean docs of {len(exact_kept)}"
+    )
+    # determinism (seeded JVM-side hashing; rebuilt bitmap identical)
+    df_again = ALL_QUERIES["bloom_decontaminate"](spark, SF_DIR)
+    again = {r.doc_id for r in df_again.collect()}
+    assert again == bloom_kept
+
+    # plan pin: the probe must stay one map-only stage — a shuffle here
+    # means someone replaced the bitmap test with a join/sort
+    plan = df_again._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
