@@ -184,6 +184,7 @@ def main() -> None:
         "pdf_roundtrip_extract",
         "sequence_packing",
         "dup_ngram_spans",
+        "bloom_decontaminate",
     ]
     from extractor_spark.spark.queries import release_query_caches
 
