@@ -185,6 +185,7 @@ def main() -> None:
         "sequence_packing",
         "dup_ngram_spans",
         "bloom_decontaminate",
+        "heavy_hitters_sketch",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

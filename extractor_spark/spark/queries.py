@@ -1297,6 +1297,111 @@ def hyperplane_lsh_pairs(
     )
 
 
+def _murmur3_32(data: bytes, seed: int) -> int:
+    """Murmur3_x86_32 over bytes, bit-identical to Spark's
+    ``Murmur3_x86_32.hashUnsafeBytes`` (the algorithm behind SQL ``hash()``
+    and the string path of CountMinSketch): little-endian 4-byte words,
+    SIGNED-byte tail mixing, returns a signed 32-bit int.  Pinned against
+    Spark's own ``hash()`` in tests/test_queries_oracle.py."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h1 = seed & 0xFFFFFFFF
+    length = len(data)
+    aligned = length - length % 4
+    for i in range(0, aligned, 4):
+        k1 = int.from_bytes(data[i : i + 4], "little")
+        k1 = (k1 * c1) & 0xFFFFFFFF
+        k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+        k1 = (k1 * c2) & 0xFFFFFFFF
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+        h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+    for i in range(aligned, length):
+        b = data[i]
+        if b >= 128:  # Java bytes are signed; sign-extend before mixK1
+            b -= 256
+        k1 = (b * c1) & 0xFFFFFFFF
+        k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+        k1 = (k1 * c2) & 0xFFFFFFFF
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+        h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _cms_estimate(sketch: bytes, item: str) -> int:
+    """Estimate an item's count from a serialized Spark CountMinSketch
+    (format: version int, totalCount long, depth int, width int, hashA
+    longs, depth×width table longs — all big-endian; the open Apache
+    layout).  String items use the double-murmur bucket schedule."""
+    import struct
+
+    version, total, depth, width = struct.unpack(">iqii", sketch[:20])
+    if version != 1:
+        raise ValueError(f"unsupported CountMinSketch version {version}")
+    table_off = 20 + depth * 8  # skip hashA (long-item path, unused here)
+    data = item.encode("utf-8")
+    hash1 = _murmur3_32(data, 0)
+    hash2 = _murmur3_32(data, hash1)
+    est = None
+    for i in range(depth):
+        combined = (hash1 + i * hash2) & 0xFFFFFFFF
+        if combined >= 1 << 31:
+            # Java int overflow then Math.abs (empirically pinned against
+            # Spark-built sketches: negation, not bit-flip)
+            combined = (1 << 32) - combined
+        bucket = combined % width
+        (cell,) = struct.unpack_from(">q", sketch, table_off + (i * width + bucket) * 8)
+        est = cell if est is None else min(est, cell)
+    return int(est)
+
+
+def _heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level heavy hitters via a mergeable count-min sketch.
+
+    Scale shape: exact corpus term frequencies at 100 TB shuffle every
+    token; ``count_min_sketch`` aggregates a fixed depth×width table
+    per partition map-side and ships ONE sketch per partition to the
+    merge — shuffle volume is O(partitions × sketch bytes), independent
+    of corpus size.  The estimates come out of the merged sketch
+    driver-side through the Spark-bit-identical murmur path above.
+
+    Output: the exact top-20 words with exact and estimated counts (the
+    exact side is the verification twin; production would probe the
+    sketch alone).  Gates (tests/test_queries_oracle.py): est ≥ exact
+    (CMS never undercounts), est ≤ exact + eps·total, determinism (fixed
+    seed).  Rows-only: sketch state is not SQL-expressible.
+    """
+    from pyspark.sql import functions as F  # noqa: F401 (parity with siblings)
+
+    _views(spark, sf_dir)
+    words = spark.sql(
+        "SELECT explode(split(trim(lower(text)), '\\\\s+')) AS w "
+        "FROM documents WHERE length(trim(text)) > 0"
+    )
+    words.createOrReplaceTempView("_hh_words")
+    sk_hex, total = spark.sql(
+        "SELECT hex(count_min_sketch(w, 0.0005d, 0.99d, 42)) AS s, "
+        "CAST(count(*) AS BIGINT) AS n FROM _hh_words"
+    ).first()
+    sketch = bytes.fromhex(sk_hex)
+    top = spark.sql(
+        "SELECT w, CAST(count(*) AS BIGINT) AS c FROM _hh_words "
+        "GROUP BY w ORDER BY c DESC, w LIMIT 20"
+    ).collect()
+    rows = [
+        (r.w, r.c, _cms_estimate(sketch, r.w), int(total)) for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "word string, exact_count bigint, est_count bigint, total_words bigint"
+    )
+
+
 def _bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination — the constant-size-broadcast variant of
     ``decontaminate_docs`` (which broadcasts the exact fingerprint set).
@@ -1858,6 +1963,7 @@ QUERIES: dict[str, tuple] = {
     "simhash_candidate_pairs": (_sql(_SIMHASH_PAIRS), None),
     "lsh_cosine_buckets": (_sql(_LSH_COSINE_BUCKETS), None),
     "bloom_decontaminate": (_bloom_decontaminate, None),
+    "heavy_hitters_sketch": (_heavy_hitters_sketch, None),
     "lsh_cosine_candidate_pairs": (_lsh_cosine_candidate_pairs, None),
     "lsh_cosine_pairs_strong": (_lsh_cosine_pairs_strong, None),
     "ivf_topk": (_ivf_topk, None),

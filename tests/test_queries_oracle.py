@@ -466,3 +466,37 @@ def test_bloom_decontaminate_soundness_and_fp_bound(spark):
     # means someone replaced the bitmap test with a join/sort
     plan = df_again._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_murmur3_matches_spark_hash(spark):
+    """_murmur3_32 must be bit-identical to Spark's Murmur3_x86_32 (the
+    algorithm behind SQL hash(col) at seed 42 and the CountMinSketch string
+    path): pin across lengths 0..n covering the 4-byte word loop, the
+    signed-byte tail, and non-ASCII UTF-8."""
+    from extractor_spark.spark.queries import _murmur3_32
+
+    probes = [
+        "", "a", "ab", "abc", "abcd", "abcde", "hello world",
+        "naïve café 中文 𝄞", "x" * 31, "\x00\x7f\x80ÿ", "the", "and",
+    ]
+    df = spark.createDataFrame([(p,) for p in probes], ["s"])
+    got = {r.s: r.h for r in df.selectExpr("s", "hash(s) AS h").collect()}
+    for p in probes:
+        assert _murmur3_32(p.encode("utf-8"), 42) == got[p], repr(p)
+
+
+def test_heavy_hitters_sketch_bounds(spark):
+    """Count-min estimates: never undercount, overcount bounded by
+    eps·total (deterministic at the fixed seed), and the exact column
+    matches an independent recount."""
+    rows = ALL_QUERIES["heavy_hitters_sketch"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    total = rows[0].total_words
+    eps_bound = int(0.0005 * total) + 1
+    for r in rows:
+        assert r.est_count >= r.exact_count, (r.word, r.exact_count, r.est_count)
+        assert r.est_count - r.exact_count <= eps_bound, (
+            r.word, r.exact_count, r.est_count, eps_bound,
+        )
+    again = ALL_QUERIES["heavy_hitters_sketch"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
