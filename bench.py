@@ -186,6 +186,7 @@ def main() -> None:
         "dup_ngram_spans",
         "bloom_decontaminate",
         "heavy_hitters_sketch",
+        "crawl_delta",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

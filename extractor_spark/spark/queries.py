@@ -89,6 +89,34 @@ FROM (
 ) t WHERE rn = 1
 """
 
+# Incremental crawl diff: latest vs previous observation per key →
+# new / changed / unchanged.  The production shape for "what changed since
+# the last crawl": one hash shuffle on the key + a bounded window (rn ≤ 2);
+# against a stored previous-crawl manifest this becomes a co-partitioned
+# (bucket-aligned) join with no re-read of unchanged payloads.  Fingerprint
+# is md5 over the string payload (props) so both engines agree byte-wise.
+_CRAWL_DELTA = """
+SELECT user_id,
+       CASE WHEN prev_fp IS NULL THEN 'new'
+            WHEN cur_fp <> prev_fp THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       n_obs
+FROM (
+  SELECT user_id,
+         max(CASE WHEN rn = 1 THEN fp END) AS cur_fp,
+         max(CASE WHEN rn = 2 THEN fp END) AS prev_fp,
+         max(n_obs) AS n_obs
+  FROM (
+    SELECT user_id, md5(coalesce(props, '')) AS fp,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_obs
+    FROM events
+  ) r
+  WHERE rn <= 2
+  GROUP BY user_id
+) s
+"""
+
 # Top-3 documents by length per language (top-k per group).
 _TOPK_DOCS = """
 SELECT lang, doc_id, n_chars
@@ -1917,6 +1945,7 @@ QUERIES: dict[str, tuple] = {
     "embedding_quantize": (_sql(_QUANTIZE_SPARK), _QUANTIZE_ORACLE),
     "filter_project": (_sql(_FILTER_PROJECT), _FILTER_PROJECT),
     "dedup_latest_event": (_sql(_DEDUP_LATEST_EVENT_SPARK), _DEDUP_LATEST_EVENT_ORACLE),
+    "crawl_delta": (_sql(_CRAWL_DELTA), _CRAWL_DELTA),
     "topk_docs_per_lang": (_sql(_TOPK_DOCS), _TOPK_DOCS),
     "segment_revenue": (_sql(_SEGMENT_REVENUE), _SEGMENT_REVENUE),
     "customers_without_orders": (_sql(_CUSTOMERS_WITHOUT_ORDERS), _CUSTOMERS_WITHOUT_ORDERS),

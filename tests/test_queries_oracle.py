@@ -500,3 +500,33 @@ def test_heavy_hitters_sketch_bounds(spark):
         )
     again = ALL_QUERIES["heavy_hitters_sketch"](spark, SF_DIR).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_crawl_delta_all_status_branches(spark):
+    """crawl_delta on a crafted events table: single-observation key →
+    'new', differing latest-vs-previous payload → 'changed', identical →
+    'unchanged' (the sf tables rarely produce 'new', so pin the branch
+    here)."""
+    import datetime
+
+    import pandas as pd
+
+    from extractor_spark.spark.queries import _CRAWL_DELTA
+
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [
+        # user 1: one observation → new
+        (1, ts(0), 1, "a"),
+        # user 2: payload changed between crawls
+        (2, ts(0), 2, "a"), (3, ts(9), 2, "b"),
+        # user 3: identical payloads → unchanged (3 observations)
+        (4, ts(0), 3, "same"), (5, ts(5), 3, "x"), (6, ts(9), 3, "x"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "props"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    got = {r.user_id: (r.status, r.n_obs) for r in spark.sql(_CRAWL_DELTA).collect()}
+    assert got == {1: ("new", 1), 2: ("changed", 2), 3: ("unchanged", 3)}
