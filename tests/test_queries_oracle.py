@@ -530,3 +530,25 @@ def test_crawl_delta_all_status_branches(spark):
     spark.createDataFrame(pdf).createOrReplaceTempView("events")
     got = {r.user_id: (r.status, r.n_obs) for r in spark.sql(_CRAWL_DELTA).collect()}
     assert got == {1: ("new", 1), 2: ("changed", 2), 3: ("unchanged", 3)}
+
+
+def test_every_oracled_query_survives_driver_canonicalization(spark):
+    """Permanent form of the ad-hoc round-3 check: the driver hash-compares
+    oracled results by sorting a pandas frame of the rows — a non-atomic
+    column (array/map/struct) is unhashable there and turns a correct query
+    into an 'err' row (round-2 embedding_quantize).  Run every oracled
+    query at sf0.001, require atomic output columns, and actually perform
+    the sort+hash the driver does."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    atomic = (T.ArrayType, T.MapType, T.StructType)
+    sf = "/root/testdata/sf0.001"
+    for name in sorted(ORACLES):
+        df = ALL_QUERIES[name](spark, sf)
+        bad = [f.name for f in df.schema.fields if isinstance(f.dataType, atomic)]
+        assert not bad, f"{name}: non-canonicalizable columns {bad}"
+        pdf = pd.DataFrame([tuple(r) for r in df.collect()], columns=df.columns)
+        if len(pdf):
+            pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+        hash(tuple(map(tuple, pdf.itertuples(index=False))))  # must not raise
