@@ -39,6 +39,10 @@ def read_pages(spark: SparkSession, location: str, fmt: str = "parquet") -> Data
         return spark.read.format("iceberg").load(location)
     if fmt == "jsonl":
         return spark.read.schema(_PAGES_JSONL_SCHEMA).json(location)
+    if fmt == "orc":
+        # ORC ships in Spark core (no extra jar): same columnar
+        # pushdown/pruning properties as parquet for Hive-resident crawls
+        return spark.read.orc(location)
     return spark.read.parquet(location)
 
 

@@ -31,9 +31,9 @@ def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pages", required=True, help="input pages table (parquet dir)")
     p.add_argument("--pages-format", default="parquet",
-                   choices=["parquet", "iceberg", "warc", "jsonl"],
+                   choices=["parquet", "iceberg", "warc", "jsonl", "orc"],
                    help="input format; 'warc' ingests .warc/.warc.gz crawl "
-                        "archives, 'jsonl' one-object-per-line dumps")
+                        "archives, 'jsonl' one-object-per-line dumps, 'orc' Hive-resident crawls")
     p.add_argument("--canonicalize-urls", action="store_true",
                    help="rewrite urls to canonical form before bucketing so "
                         "spelling variants (fragments, tracking params, host "

@@ -98,6 +98,46 @@ def test_jsonl_pages_source(spark, tmp_path):
     assert got.filter("markdown IS NOT NULL").count() == 60
 
 
+def test_orc_pages_source(spark, tmp_path):
+    """ORC crawl input (Hive-resident corpora; ORC ships in Spark core, no
+    extra jar) drives the same pipeline: write pages as ORC, run with
+    pages_format='orc', byte-identical markdown vs the parquet path."""
+    from extractor_spark.spark.pipeline import PipelineConfig, run_pipeline
+    from extractor_spark.spark.synth import build_pages_df
+
+    pages = build_pages_df(spark, 60, include_fixtures=False, dup_every=0)
+    src = str(tmp_path / "pages_orc")
+    pages.write.orc(src)
+
+    out = str(tmp_path / "out_orc")
+    summary = run_pipeline(
+        spark,
+        PipelineConfig(
+            pages_path=src,
+            output_path=out,
+            pages_format="orc",
+            n_buckets=4,
+            resume=False,
+        ),
+    )
+    assert summary["docs"] == 60
+    assert summary["convert_failures"] == 0
+
+    # cross-format byte identity: same corpus through the parquet path
+    src_pq = str(tmp_path / "pages_pq")
+    pages.write.parquet(src_pq)
+    out_pq = str(tmp_path / "out_pq")
+    run_pipeline(
+        spark,
+        PipelineConfig(
+            pages_path=src_pq, output_path=out_pq, n_buckets=4, resume=False
+        ),
+    )
+    a = {r.url: r.markdown for r in spark.read.parquet(out).collect()}
+    b = {r.url: r.markdown for r in spark.read.parquet(out_pq).collect()}
+    assert a == b
+
+
 def test_warc_with_pdf_records_extracts_both(spark, tmp_path):
     """A Common-Crawl-style archive mixing text/html and application/pdf
     response records: the pipeline routes each payload by magic, so PDFs
