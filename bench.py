@@ -86,7 +86,11 @@ def main() -> None:
             ),
         )
 
-    timings["extract_pipeline"], extras["pipeline_runs"] = _best_of(2, _run_main)
+    # best-of-3 for the headline (structured/curate stay at 2): the host's
+    # contention windows (BENCH/BASELINE.md runs I-M, P-Q) can depress two
+    # consecutive multi-core legs; a third leg materially raises the odds
+    # one lands clean
+    timings["extract_pipeline"], extras["pipeline_runs"] = _best_of(3, _run_main)
     extras["pipeline_docs"] = summary["docs"]
     extras["pipeline_docs_per_sec"] = round(summary["docs"] / timings["extract_pipeline"], 1)
     extras["pipeline_html_mb_per_sec"] = round(
