@@ -1475,6 +1475,9 @@ def _bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in row:
             bitmap[v] = True
     bc = spark.sparkContext.broadcast(bitmap)
+    # consumers retire executor-side bitmap copies after collecting
+    # (release_query_caches); next use would re-fetch from the driver
+    caches.register(bc)
 
     # explicit SCALAR eval type: string type hints (PEP 563 module) defeat
     # pyspark's hint inference
