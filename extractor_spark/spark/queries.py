@@ -1411,7 +1411,10 @@ def _heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = spark.sql(
         "SELECT explode(split(trim(lower(text)), '\\\\s+')) AS w "
         "FROM documents WHERE length(trim(text)) > 0"
-    )
+    ).persist()  # feeds both the sketch pass and the exact-top-20 pass:
+    # unpersisted it would re-run the full scan+split+explode twice
+    # (CLAUDE.md: inline CTE re-evaluation); retired by release_query_caches
+    caches.register(words)
     words.createOrReplaceTempView("_hh_words")
     sk_hex, total = spark.sql(
         "SELECT hex(count_min_sketch(w, 0.0005d, 0.99d, 42)) AS s, "
@@ -1454,7 +1457,7 @@ def _bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     _views(spark, sf_dir)
-    n_bits = 1 << 20  # 128 KiB bitmap → FP ≈ (1-e^(-k·n/m))^k; tiny at test n
+    n_bits = 1 << 20  # bit-packed: 128 KiB broadcast; FP ≈ (1-e^(-k·n/m))^k
     k = 5
 
     docs = spark.table("documents")
@@ -1470,10 +1473,10 @@ def _bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     contam_positions = (
         docs.filter(F.col("doc_id") < 10).select(pos_cols()).collect()
     )
-    bitmap = np.zeros(n_bits, dtype=bool)
+    bitmap = np.zeros(n_bits >> 3, dtype=np.uint8)  # packed: 1 bit/position
     for row in contam_positions:
         for v in row:
-            bitmap[v] = True
+            bitmap[v >> 3] |= 1 << (v & 7)
     bc = spark.sparkContext.broadcast(bitmap)
     # consumers retire executor-side bitmap copies after collecting
     # (release_query_caches); next use would re-fetch from the driver
@@ -1484,10 +1487,12 @@ def _bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("boolean", PandasUDFType.SCALAR)
     def might_contain(p0, p1, p2, p3, p4):
         bm = bc.value
-        hit = bm[p0.to_numpy()]
+        pos = p0.to_numpy()
+        hit = (bm[pos >> 3] >> (pos & 7)) & 1
         for p in (p1, p2, p3, p4):
-            hit = hit & bm[p.to_numpy()]
-        return pd.Series(hit)
+            pos = p.to_numpy()
+            hit = hit & ((bm[pos >> 3] >> (pos & 7)) & 1)
+        return pd.Series(hit.astype(bool))
 
     probed = docs.select("doc_id", "text", *pos_cols()).withColumn(
         "_maybe", might_contain(*[F.col(f"_bp{i}") for i in range(k)])

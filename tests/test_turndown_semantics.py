@@ -72,3 +72,18 @@ def test_keep_footer_form_content():
              "<select><option>A</option></select><label>L</label></form>")
     for frag in ("foot", "Buy", "A", "L"):
         assert frag in out
+
+
+def test_js_ws_chars_expansion_matches_regex_class():
+    """_JS_WS_CHARS (the str.strip expansion used for the final output trim)
+    must stay in lockstep with the _JS_WS regex class it replaces — a char
+    added to one but not the other silently changes golden-locked output
+    for documents ending in that character."""
+    import re
+
+    from extractor_spark.engine.turndown_md import _JS_WS_CHARS, _TRAIL_WS_RE
+
+    from_class = {
+        chr(c) for c in range(0x11000) if _TRAIL_WS_RE.fullmatch(chr(c))
+    }
+    assert from_class == set(_JS_WS_CHARS)
