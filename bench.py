@@ -191,6 +191,7 @@ def main() -> None:
         "bloom_decontaminate",
         "heavy_hitters_sketch",
         "crawl_delta",
+        "temperature_mixture",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

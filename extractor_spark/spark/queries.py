@@ -117,6 +117,37 @@ FROM (
 ) s
 """
 
+# Temperature-flattened source mixing (multilingual-LM-style α-sampling,
+# α = 0.5): per-source keep-rates ∝ sqrt(n)/n materialize a ~300-doc
+# training mixture as a MAP-ONLY filter — counts/rates are a tiny agg +
+# broadcast join, and selection is a deterministic multiplicative-hash
+# threshold, so the corpus itself is never shuffled or per-stratum sorted
+# (contrast `stratified_sample`, the exact-K windowed variant).  All
+# arithmetic is engine-portable: sqrt of exact ints is correctly rounded,
+# the double division's true quotient is ≥1e-7 from any integer (>> ulp),
+# the pre-mod keeps the hash product inside int64 under ANSI mode, and the
+# Knuth multiplier is odd and coprime to 1e6 (equidistributed threshold).
+_TEMPERATURE_MIXTURE = """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_total
+  FROM documents GROUP BY source
+),
+weights AS (
+  SELECT source, n_total, CAST(floor(sqrt(n_total)) AS BIGINT) AS w
+  FROM counts
+),
+rates AS (
+  SELECT source, n_total,
+         CAST(floor((1000000.0 * 300 * w) /
+                    ((SELECT sum(w) FROM weights) * n_total)) AS BIGINT)
+           AS rate_ppm
+  FROM weights
+)
+SELECT d.source, d.doc_id
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE ((d.doc_id % 1000003) * 2654435761) % 1000000 < r.rate_ppm
+"""
+
 # Top-3 documents by length per language (top-k per group).
 _TOPK_DOCS = """
 SELECT lang, doc_id, n_chars
@@ -1954,6 +1985,7 @@ QUERIES: dict[str, tuple] = {
     "filter_project": (_sql(_FILTER_PROJECT), _FILTER_PROJECT),
     "dedup_latest_event": (_sql(_DEDUP_LATEST_EVENT_SPARK), _DEDUP_LATEST_EVENT_ORACLE),
     "crawl_delta": (_sql(_CRAWL_DELTA), _CRAWL_DELTA),
+    "temperature_mixture": (_sql(_TEMPERATURE_MIXTURE), _TEMPERATURE_MIXTURE),
     "topk_docs_per_lang": (_sql(_TOPK_DOCS), _TOPK_DOCS),
     "segment_revenue": (_sql(_SEGMENT_REVENUE), _SEGMENT_REVENUE),
     "customers_without_orders": (_sql(_CUSTOMERS_WITHOUT_ORDERS), _CUSTOMERS_WITHOUT_ORDERS),

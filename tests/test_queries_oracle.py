@@ -552,3 +552,38 @@ def test_every_oracled_query_survives_driver_canonicalization(spark):
         if len(pdf):
             pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
         hash(tuple(map(tuple, pdf.itertuples(index=False))))  # must not raise
+
+
+def test_temperature_mixture_flattens_source_distribution(spark):
+    """α=0.5 mixing must (a) hit each source's sqrt-proportional quota
+    within the threshold-hash discrepancy, and (b) flatten: every source's
+    share of the mixture exceeds its share of the corpus iff it is smaller
+    than average (the point of temperature sampling)."""
+    import math
+    from collections import Counter
+
+    rows = ALL_QUERIES["temperature_mixture"](spark, SF_DIR).collect()
+    got = Counter(r.source for r in rows)
+    corpus = {
+        r.source: r.n
+        for r in spark.sql(
+            "SELECT source, CAST(count(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY source"
+        ).collect()
+    }
+    weights = {s: math.floor(math.sqrt(n)) for s, n in corpus.items()}
+    wsum = sum(weights.values())
+    assert got, "mixture is empty"
+    for s, n in corpus.items():
+        quota = 300 * weights[s] / wsum
+        # low-discrepancy threshold selection lands within a few docs
+        assert abs(got.get(s, 0) - quota) <= max(3, 0.15 * quota), (
+            s, got.get(s, 0), quota,
+        )
+    n_corpus = sum(corpus.values())
+    n_mix = sum(got.values())
+    for s, n in corpus.items():
+        corpus_share = n / n_corpus
+        mix_share = got.get(s, 0) / n_mix
+        if corpus_share < 1 / len(corpus):
+            assert mix_share > corpus_share, (s, mix_share, corpus_share)
