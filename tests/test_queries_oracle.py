@@ -562,7 +562,13 @@ def test_temperature_mixture_flattens_source_distribution(spark):
     import math
     from collections import Counter
 
-    rows = ALL_QUERIES["temperature_mixture"](spark, SF_DIR).collect()
+    df = ALL_QUERIES["temperature_mixture"](spark, SF_DIR)
+    # plan pin: the corpus side must stay map-only — rates broadcast into
+    # the join, never a sort-merge shuffle of documents
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    rows = df.collect()
     got = Counter(r.source for r in rows)
     corpus = {
         r.source: r.n
