@@ -87,3 +87,86 @@ def test_js_ws_chars_expansion_matches_regex_class():
         chr(c) for c in range(0x11000) if _TRAIL_WS_RE.fullmatch(chr(c))
     }
     assert from_class == set(_JS_WS_CHARS)
+
+
+def test_index_stack_collapse_matches_pointer_walk():
+    """The shipped collapse_whitespace is the index-stack rewrite of
+    turndown's pointer walk (kept as _wc_next/_wc_remove for
+    documentation). Reconstruct the original walk here and require
+    identical trees on randomized DOMs — entry+ascent double-processing,
+    removal, <pre> skipping and the trailing-text trim all included."""
+    import random
+
+    from extractor_spark.engine.dom import parse_document, serialize_inner
+    from extractor_spark.engine.turndown_md import (
+        _COLLAPSE_RE,
+        _wc_next,
+        _wc_remove,
+        BLOCK_ELEMENTS,
+        VOID_ELEMENTS,
+        collapse_whitespace,
+    )
+    from extractor_spark.engine.dom import ELEMENT_NODE, TEXT_NODE
+
+    def reference_collapse(element):
+        if not element.children or element.tag == "pre":
+            return
+        prev_text = None
+        keep_leading_ws = False
+        prev = None
+        node = _wc_next(None, element)
+        while node is not element and node is not None:
+            ntype = node.node_type
+            if ntype == TEXT_NODE:
+                data = node.data
+                if "\n" in data or "  " in data or "\t" in data or "\r" in data:
+                    text = _COLLAPSE_RE.sub(" ", data)
+                else:
+                    text = data
+                if (
+                    (prev_text is None or prev_text.data.endswith(" "))
+                    and not keep_leading_ws
+                    and text[:1] == " "
+                ):
+                    text = text[1:]
+                if not text:
+                    node = _wc_remove(node)
+                    continue
+                node.data = text
+                prev_text = node
+            elif ntype == ELEMENT_NODE:
+                if node.tag in BLOCK_ELEMENTS or node.tag == "br":
+                    if prev_text is not None and prev_text.data.endswith(" "):
+                        prev_text.data = prev_text.data[:-1]
+                    prev_text = None
+                    keep_leading_ws = False
+                elif node.tag in VOID_ELEMENTS or node.tag == "pre":
+                    prev_text = None
+                    keep_leading_ws = True
+                elif prev_text is not None:
+                    keep_leading_ws = False
+            else:
+                node = _wc_remove(node)
+                continue
+            nxt = _wc_next(prev, node)
+            prev = node
+            node = nxt
+        if prev_text is not None:
+            if prev_text.data.endswith(" "):
+                prev_text.data = prev_text.data[:-1]
+            if not prev_text.data:
+                _wc_remove(prev_text)
+
+    rng = random.Random(4242)
+    pieces = [
+        "<div>", "</div>", "<p>", "</p>", "<em>", "</em>", "<pre>", "</pre>",
+        "<br>", "<img>", "<!--c-->", "  ", "\n", "\t", "a b", "x", " y ",
+        "<span>", "</span>", "<ul><li>", "</li></ul>", "&amp;",
+    ]
+    for _ in range(1500):
+        html = "".join(rng.choice(pieces) for _ in range(rng.randrange(0, 18)))
+        a = parse_document(html).html
+        b = parse_document(html).html
+        collapse_whitespace(a)
+        reference_collapse(b)
+        assert serialize_inner(a) == serialize_inner(b), repr(html)
