@@ -593,3 +593,19 @@ def test_temperature_mixture_flattens_source_distribution(spark):
         mix_share = got.get(s, 0) / n_mix
         if corpus_share < 1 / len(corpus):
             assert mix_share > corpus_share, (s, mix_share, corpus_share)
+
+
+def test_bench_query_list_is_registered():
+    """bench.py's query list must reference only registered queries — a
+    typo there would otherwise only surface as a KeyError mid-bench on
+    the driver's recorded run."""
+    import re
+
+    from extractor_spark.spark.queries import QUERIES
+
+    src = open("bench.py").read()
+    block = re.search(r"bench_queries = \[(.*?)\]", src, re.S).group(1)
+    names = re.findall(r'"([a-z_0-9]+)"', block)
+    assert names, "failed to parse bench_queries"
+    missing = [n for n in names if n not in QUERIES]
+    assert not missing, missing
