@@ -103,6 +103,9 @@ def main() -> None:
 
     pages_small = os.path.join(workdir, "pages_small.parquet")
     write_pages(spark, pages_small, n_pages=n_pages // 4)
+    # warm the extraction stage too (untimed): the structured first leg
+    # otherwise pays E-stage codegen/worker spawn inside the timed region
+    warmup(spark, pages_small, schema=BLOG_SCHEMA)
     summary2 = None
 
     def _run_structured():

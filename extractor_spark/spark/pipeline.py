@@ -207,18 +207,30 @@ def _has_bucket_partitions(spark: SparkSession, path: str) -> bool:
     return False
 
 
-def warmup(spark: SparkSession, pages_path: str, n_rows: int = 512) -> None:
+def warmup(
+    spark: SparkSession,
+    pages_path: str,
+    n_rows: int = 512,
+    schema: dict | None = None,
+) -> None:
     """Exercise the full stage chain on a small slice so JVM JIT, codegen,
     and Python-worker spawn costs are paid before measurement (a cluster
     amortizes these over hours; a cold local[N] JVM would otherwise fold
-    them into the timed region)."""
+    them into the timed region).  Pass ``schema`` to also warm the
+    extraction stage's codegen/worker path (the structured pipeline's
+    first leg otherwise pays it inside the timed region)."""
     import tempfile
 
     scratch = tempfile.mkdtemp(prefix="extractor_warmup_")
     sample = spark.read.parquet(pages_path).limit(n_rows)
-    convert_stage(dedup_latest_per_url(sample).select("url", "warc_ts", "html", "lang")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(scratch, "out"))
+    converted = convert_stage(
+        dedup_latest_per_url(sample).select("url", "warc_ts", "html", "lang")
+    )
+    if schema is not None:
+        from extractor_spark.spark.stages import extract_stage
+
+        converted = extract_stage(converted, schema)
+    converted.write.mode("overwrite").parquet(os.path.join(scratch, "out"))
 
 
 def _read_pages(spark: SparkSession, conf: PipelineConfig) -> DataFrame:
