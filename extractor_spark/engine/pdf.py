@@ -531,7 +531,7 @@ class FontInfo:
     """Per-font decode state: code byte-width, cmap, widths."""
 
     __slots__ = ("nbytes", "cmap", "simple_enc", "widths", "first_char",
-                 "default_width", "cid_widths")
+                 "default_width", "cid_widths", "_pair_cache")
 
     def __init__(self) -> None:
         self.nbytes = 1
@@ -541,23 +541,43 @@ class FontInfo:
         self.first_char = 0
         self.default_width = 500.0
         self.cid_widths: dict[int, float] = {}  # Type0 /W entries
+        # lazily created on first decode (after load_font has populated
+        # cmap/widths); code -> (text, width)
+        self._pair_cache: dict[int, tuple[str, float]] | None = None
 
     def decode(self, raw: bytes) -> list[tuple[str, float]]:
-        """→ [(unicode_text, width_1000ths)] per code."""
+        """→ [(unicode_text, width_1000ths)] per code.
+
+        Per-code (text, width) pairs are memoized per font: fonts are fully
+        populated by load_font before any decode, and a page reuses a small
+        glyph set hundreds of times, so every repeat becomes one dict hit
+        (and the result tuples are shared, not reallocated)."""
         out: list[tuple[str, float]] = []
+        pair = self._pair_cache
+        if pair is None:
+            pair = self._pair_cache = {}
         if self.nbytes == 2:
             if len(raw) % 2:
                 raw = raw[:-1]
             for i in range(0, len(raw), 2):
                 code = (raw[i] << 8) | raw[i + 1]
-                out.append((self.cmap.get(code, ""), self._width(code)))
+                p = pair.get(code)
+                if p is None:
+                    p = pair[code] = (self.cmap.get(code, ""), self._width(code))
+                out.append(p)
         else:
             for b in raw:
-                if b in self.cmap:
-                    out.append((self.cmap[b], self._width(b)))
-                else:
-                    out.append((bytes([b]).decode(self.simple_enc, "replace"),
-                                self._width(b)))
+                p = pair.get(b)
+                if p is None:
+                    if b in self.cmap:
+                        p = (self.cmap[b], self._width(b))
+                    else:
+                        p = (
+                            bytes([b]).decode(self.simple_enc, "replace"),
+                            self._width(b),
+                        )
+                    pair[b] = p
+                out.append(p)
         return out
 
     def _width(self, code: int) -> float:
