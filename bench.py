@@ -86,7 +86,7 @@ def main() -> None:
             ),
         )
 
-    # best-of-3 for the headline (structured/curate stay at 2): the host's
+    # best-of-3 for the headline and structured legs (curate stays at 2): the host's
     # contention windows (BENCH/BASELINE.md runs I-M, P-Q) can depress two
     # consecutive multi-core legs; a third leg materially raises the odds
     # one lands clean
@@ -121,7 +121,7 @@ def main() -> None:
         )
 
     timings["extract_pipeline_structured"], extras["structured_runs"] = _best_of(
-        2, _run_structured
+        3, _run_structured
     )
     extras["structured_docs_per_sec"] = round(
         summary2["docs"] / timings["extract_pipeline_structured"], 1
