@@ -146,6 +146,14 @@ def main() -> None:
     # up to 3x (run E), which mismeasures the operator.
     from extractor_spark.spark.curate import curate
 
+    # untimed curate warmup on a 2k-doc slice: the funnel's distinct
+    # codegen/plan paths (MinHash array signatures, star-per-bucket joins,
+    # checkpoint machinery) otherwise cost the first timed leg 2-4x
+    # (runs W/X: 69-75 s first leg vs 16-18 s second on identical code)
+    warm_in = os.path.join(workdir, "curate_warm_in")
+    spark.read.parquet(out_path).limit(2000).write.mode("overwrite").parquet(warm_in)
+    curate(spark, warm_in, os.path.join(workdir, "curate_warm_out"))
+
     curate_stats = None
 
     def _run_curate():
