@@ -203,6 +203,7 @@ def main() -> None:
         "heavy_hitters_sketch",
         "crawl_delta",
         "temperature_mixture",
+        "hot_keys",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

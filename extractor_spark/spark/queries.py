@@ -117,6 +117,25 @@ FROM (
 ) s
 """
 
+# Skew diagnosis: the ten heaviest keys with their corpus share — the
+# measurement that decides whether the pipeline's salting/AQE-skew handling
+# is needed for a given key (complements `salted_event_totals`, which
+# demonstrates the mitigation).  One map-side-combined agg + a tiny top-k;
+# share uses floor() because Spark CAST(double AS BIGINT) truncates while
+# DuckDB rounds half-even — floor agrees byte-wise in both engines.
+_HOT_KEYS = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM c)
+SELECT user_id, n_events,
+       CAST(floor(n_events * 1000000.0 / total) AS BIGINT) AS share_ppm
+FROM c, t
+ORDER BY n_events DESC, user_id
+LIMIT 10
+"""
+
 # Temperature-flattened source mixing (multilingual-LM-style α-sampling,
 # α = 0.5): per-source keep-rates ∝ sqrt(n)/n materialize a ~300-doc
 # training mixture as a MAP-ONLY filter — counts/rates are a tiny agg +
@@ -1986,6 +2005,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_latest_event": (_sql(_DEDUP_LATEST_EVENT_SPARK), _DEDUP_LATEST_EVENT_ORACLE),
     "crawl_delta": (_sql(_CRAWL_DELTA), _CRAWL_DELTA),
     "temperature_mixture": (_sql(_TEMPERATURE_MIXTURE), _TEMPERATURE_MIXTURE),
+    "hot_keys": (_sql(_HOT_KEYS), _HOT_KEYS),
     "topk_docs_per_lang": (_sql(_TOPK_DOCS), _TOPK_DOCS),
     "segment_revenue": (_sql(_SEGMENT_REVENUE), _SEGMENT_REVENUE),
     "customers_without_orders": (_sql(_CUSTOMERS_WITHOUT_ORDERS), _CUSTOMERS_WITHOUT_ORDERS),
