@@ -1998,6 +1998,12 @@ def _pdf_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
+    #
+    # ORDERING CONTRACT (round 4): the driver's correctness harness records
+    # only the first 50 registry entries. All oracled queries (non-None SQL)
+    # MUST precede every rows-only entry so each oracled query gets a
+    # driver-visible rows+schema+hash row. Enforced by
+    # tests/test_queries_oracle.py::test_oracled_queries_precede_rows_only.
     "pricing_summary": (_sql(_PRICING_SUMMARY), _PRICING_SUMMARY),
     "shipping_priority": (_sql(_SHIPPING_PRIORITY_SPARK), _SHIPPING_PRIORITY_ORACLE),
     "embedding_quantize": (_sql(_QUANTIZE_SPARK), _QUANTIZE_ORACLE),
@@ -2027,7 +2033,6 @@ QUERIES: dict[str, tuple] = {
     "running_value_per_user": (_sql(_RUNNING_VALUE), _RUNNING_VALUE),
     "events_hourly": (_sql(_EVENTS_HOURLY_SPARK), _EVENTS_HOURLY_ORACLE),
     "user_sessions": (_sql(_SESSIONS_SPARK), _SESSIONS_ORACLE),
-    "user_sessions_native": (_sql(_SESSIONS_NATIVE), None),
     "token_counts": (_sql(_TOKEN_COUNTS_SPARK), _TOKEN_COUNTS_ORACLE),
     "bpe_token_counts": (_sql(_BPE_TOKENS_SPARK), _BPE_TOKENS_ORACLE),
     "pii_scrub": (_sql(_PII_SPARK), _PII_ORACLE),
@@ -2044,9 +2049,15 @@ QUERIES: dict[str, tuple] = {
     "embedding_topk": (_sql(_EMB_TOPK_SPARK), _EMB_TOPK_ORACLE),
     "knn_join": (_sql(_KNN_JOIN_SPARK), _KNN_JOIN_ORACLE),
     "embedding_cosine_dups": (_sql(_EMB_COSINE_DUPS_SPARK), _EMB_COSINE_DUPS_ORACLE),
-    # scale-path approximations — rows-only checks
-    "approx_stats": (_sql(_APPROX_STATS), None),
     "exact_stats": (_sql(_EXACT_STATS_SPARK), _EXACT_STATS_ORACLE),
+    "mean_embedding_per_lang": (_mean_embedding_per_lang, _MEAN_EMB_ORACLE),
+    "pdf_roundtrip_extract": (_pdf_roundtrip_extract, _PDF_ROUNDTRIP_ORACLE),
+    "sequence_packing": (_sequence_packing, _SEQ_PACKING_ORACLE),
+    "dup_ngram_spans": (_sql(_DUP_SPANS_SPARK), _DUP_SPANS_ORACLE),
+    # ---- rows-only entries (no SQL-expressible oracle) — keep AFTER every
+    # oracled query (driver records only the first 50 registry entries).
+    "user_sessions_native": (_sql(_SESSIONS_NATIVE), None),
+    "approx_stats": (_sql(_APPROX_STATS), None),
     "minhash_lsh_candidates": (_sql(_MINHASH_CANDIDATES), None),
     "simhash_fingerprints": (_sql(_SIMHASH), None),
     "simhash_candidate_pairs": (_sql(_SIMHASH_PAIRS), None),
@@ -2057,9 +2068,5 @@ QUERIES: dict[str, tuple] = {
     "lsh_cosine_pairs_strong": (_lsh_cosine_pairs_strong, None),
     "ivf_topk": (_ivf_topk, None),
     "semantic_dedup": (_semantic_dedup, None),
-    "mean_embedding_per_lang": (_mean_embedding_per_lang, _MEAN_EMB_ORACLE),
     "markdown_sections": (_markdown_sections, None),
-    "pdf_roundtrip_extract": (_pdf_roundtrip_extract, _PDF_ROUNDTRIP_ORACLE),
-    "sequence_packing": (_sequence_packing, _SEQ_PACKING_ORACLE),
-    "dup_ngram_spans": (_sql(_DUP_SPANS_SPARK), _DUP_SPANS_ORACLE),
 }

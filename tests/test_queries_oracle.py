@@ -609,3 +609,25 @@ def test_bench_query_list_is_registered():
     assert names, "failed to parse bench_queries"
     missing = [n for n in names if n not in QUERIES]
     assert not missing, missing
+
+
+def test_oracled_queries_precede_rows_only():
+    """Driver harness records only the first 50 registry entries
+    (CORRECTNESS_r03 cut at position 50, dropping 4 oracled queries).
+    Every oracled query must therefore precede every rows-only entry,
+    and the oracled count must not exceed the 50-entry driver window."""
+    from extractor_spark.spark.queries import QUERIES
+
+    kinds = ["oracled" if o is not None else "rows_only"
+             for (_f, o) in QUERIES.values()]
+    n_oracled = kinds.count("oracled")
+    assert n_oracled <= 50, (
+        f"{n_oracled} oracled queries > driver's 50-entry window; "
+        "either trim or confirm the driver cap was lifted"
+    )
+    first_rows_only = kinds.index("rows_only") if "rows_only" in kinds else len(kinds)
+    late_oracled = [n for i, (n, (_f, o)) in enumerate(QUERIES.items())
+                    if o is not None and i > first_rows_only]
+    assert not late_oracled, (
+        f"oracled queries after the first rows-only entry: {late_oracled}"
+    )
