@@ -1463,8 +1463,9 @@ def _heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM documents WHERE length(trim(text)) > 0"
     ).persist()  # feeds both the sketch pass and the exact-top-20 pass:
     # unpersisted it would re-run the full scan+split+explode twice
-    # (CLAUDE.md: inline CTE re-evaluation); retired by release_query_caches
-    caches.register(words)
+    # (CLAUDE.md: inline CTE re-evaluation).  Both passes materialize
+    # INSIDE this function, so the cache is released before returning
+    # (ADVICE r3) rather than deferred to release_query_caches.
     words.createOrReplaceTempView("_hh_words")
     sk_hex, total = spark.sql(
         "SELECT hex(count_min_sketch(w, 0.0005d, 0.99d, 42)) AS s, "
@@ -1475,12 +1476,16 @@ def _heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT w, CAST(count(*) AS BIGINT) AS c FROM _hh_words "
         "GROUP BY w ORDER BY c DESC, w LIMIT 20"
     ).collect()
+    words.unpersist()  # fully consumed by the two collects above
     rows = [
         (r.w, r.c, _cms_estimate(sketch, r.w), int(total)) for r in top
     ]
     return spark.createDataFrame(
         rows, "word string, exact_count bigint, est_count bigint, total_words bigint"
     )
+
+
+_BLOOM_BC_PREV = None  # predecessor broadcast, retired on re-invocation
 
 
 def _bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1492,19 +1497,23 @@ def _bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ~2 bits-per-item × k seeds of fixed width regardless of fingerprint
     size, and the probe stays map-side (zero shuffle over the corpus).
     Hashing runs JVM-side on BOTH sides — ``xxhash64(lit(seed), text)`` —
-    so Python never re-implements the hash: the build side collects k bit
-    positions per contamination doc (k rows/doc, tiny), the probe side
-    computes the same positions and a vectorized Arrow batch ANDs them
-    against the broadcast bitmap.
+    so Python never re-implements the hash.  The build side is fully
+    distributive (round 4, closes the r3 driver-side-collect finding):
+    positions fold map-side into 64-bit words via ``bit_or`` partial
+    aggregation, so the driver receives at most ``n_bits/64`` (widx, bits)
+    rows — 16,384 here — regardless of contamination-set size; a
+    multi-million-item set never ships k rows/doc to the driver.  The
+    probe side computes the same positions and a vectorized Arrow batch
+    ANDs them against the broadcast bitmap.
 
     Bloom semantics: no false negatives (every exactly-contaminated doc is
     dropped — guaranteed, gated in tests), bounded false positives (extra
     clean docs dropped; rate gated).  Rows-only: not SQL-expressible.
     """
     import numpy as np
-    import pandas as pd
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from .arrow_udfs import bloom_probe_udf
 
     _views(spark, sf_dir)
     n_bits = 1 << 20  # bit-packed: 128 KiB broadcast; FP ≈ (1-e^(-k·n/m))^k
@@ -1520,29 +1529,42 @@ def _bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(k)
         ]
 
-    contam_positions = (
-        docs.filter(F.col("doc_id") < 10).select(pos_cols()).collect()
+    # Distributed build: explode k positions/doc, fold into 64-bit words
+    # with map-side-combined bit_or.  Shuffle + collect volume is bounded
+    # by the bitmap's word count (occupied words only), never by set size.
+    word_rows = (
+        docs.filter(F.col("doc_id") < 10)
+        .select(F.explode(F.array(*pos_cols())).alias("pos"))
+        .select(
+            F.shiftright("pos", 6).cast("int").alias("widx"),
+            # shiftleft needs expr(): the pyspark wrapper only takes a
+            # literal shift amount, not a Column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
     )
     bitmap = np.zeros(n_bits >> 3, dtype=np.uint8)  # packed: 1 bit/position
-    for row in contam_positions:
-        for v in row:
-            bitmap[v >> 3] |= 1 << (v & 7)
+    for r in word_rows:
+        # LSB-first byte packing within each 64-bit word (endian-explicit:
+        # matches the probe's bitmap[pos>>3] >> (pos&7) addressing)
+        bitmap[r.widx * 8 : r.widx * 8 + 8] |= np.frombuffer(
+            (r.bits & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little"), dtype=np.uint8
+        )
     bc = spark.sparkContext.broadcast(bitmap)
-    # consumers retire executor-side bitmap copies after collecting
-    # (release_query_caches); next use would re-fetch from the driver
+    # retire the previous invocation's broadcast (like the LSH producers),
+    # and register for consumer-side release_query_caches teardown
+    global _BLOOM_BC_PREV
+    if _BLOOM_BC_PREV is not None:
+        try:
+            _BLOOM_BC_PREV.unpersist()
+        except Exception:
+            pass
+    _BLOOM_BC_PREV = bc
     caches.register(bc)
 
-    # explicit SCALAR eval type: string type hints (PEP 563 module) defeat
-    # pyspark's hint inference
-    @pandas_udf("boolean", PandasUDFType.SCALAR)
-    def might_contain(p0, p1, p2, p3, p4):
-        bm = bc.value
-        pos = p0.to_numpy()
-        hit = (bm[pos >> 3] >> (pos & 7)) & 1
-        for p in (p1, p2, p3, p4):
-            pos = p.to_numpy()
-            hit = hit & ((bm[pos >> 3] >> (pos & 7)) & 1)
-        return pd.Series(hit.astype(bool))
+    might_contain = bloom_probe_udf(bc)
 
     probed = docs.select("doc_id", "text", *pos_cols()).withColumn(
         "_maybe", might_contain(*[F.col(f"_bp{i}") for i in range(k)])
