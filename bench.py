@@ -24,6 +24,29 @@ import time
 
 
 
+_PROBE_NOMINAL_S = 0.29  # clean-window calibration: 5 trials of the probe
+# body measured 0.285-0.325 s on this host (2026-08-17, idle)
+
+
+def _contention_probe() -> float:
+    """Single-core converter control for the shared VM's contention windows
+    (BENCH/BASELINE.md runs I-M, P-Q): 200 synthetic pages through the full
+    HTML->markdown engine in-driver, no Spark.  A clean host runs this in
+    ~0.29 s; >25% above nominal means a co-tenant is stealing
+    cycles/bandwidth and multi-core legs will under-measure the engine."""
+    from extractor_spark.engine.convert import convert_html_to_markdown
+    from extractor_spark.spark.synth import synth_page_html
+
+    pages = [(synth_page_html(i), f"https://probe.test/{i}") for i in range(40)]
+    for h, u in pages:  # warm pass: parser/regex caches, not timed
+        convert_html_to_markdown(h, source_url=u)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        for h, u in pages:
+            convert_html_to_markdown(h, source_url=u)
+    return round(time.perf_counter() - t0, 3)
+
+
 def _best_of(n_runs: int, fn) -> tuple[float, list[float]]:
     """Run fn() n_runs times; return (best seconds, all raw times).
 
@@ -89,8 +112,23 @@ def main() -> None:
     # best-of-3 for the headline and structured legs (curate stays at 2): the host's
     # contention windows (BENCH/BASELINE.md runs I-M, P-Q) can depress two
     # consecutive multi-core legs; a third leg materially raises the odds
-    # one lands clean
-    timings["extract_pipeline"], extras["pipeline_runs"] = _best_of(3, _run_main)
+    # one lands clean.  The single-core contention probe (recorded in the
+    # JSON) adds a 4th leg when the host is measurably degraded, and the
+    # post-suite probe documents whether the window persisted.
+    probe_pre = _contention_probe()
+    extras["contention_probe_s"] = {"nominal": _PROBE_NOMINAL_S, "pre": probe_pre}
+    degraded = probe_pre > 1.25 * _PROBE_NOMINAL_S
+    n_legs = 4 if degraded else 3
+    timings["extract_pipeline"], extras["pipeline_runs"] = _best_of(n_legs, _run_main)
+    # re-probe after the headline: if the host degraded mid-suite AND the
+    # legs disagree >2x, one more leg gives the clean window a last chance
+    probe_mid = _contention_probe()
+    extras["contention_probe_s"]["post_pipeline"] = probe_mid
+    spread = max(extras["pipeline_runs"]) / min(extras["pipeline_runs"])
+    if probe_mid > 1.25 * _PROBE_NOMINAL_S and spread > 2.0:
+        t_extra, extra_runs = _best_of(1, _run_main)
+        extras["pipeline_runs"] += extra_runs
+        timings["extract_pipeline"] = min(timings["extract_pipeline"], t_extra)
     extras["pipeline_docs"] = summary["docs"]
     extras["pipeline_docs_per_sec"] = round(summary["docs"] / timings["extract_pipeline"], 1)
     extras["pipeline_html_mb_per_sec"] = round(
@@ -121,7 +159,7 @@ def main() -> None:
         )
 
     timings["extract_pipeline_structured"], extras["structured_runs"] = _best_of(
-        3, _run_structured
+        n_legs, _run_structured
     )
     extras["structured_docs_per_sec"] = round(
         summary2["docs"] / timings["extract_pipeline_structured"], 1
@@ -217,6 +255,8 @@ def main() -> None:
         # release persisted intermediates (LSH sigs, CC checkpoints) so no
         # query's cache pins memory while the next one is timed
         release_query_caches()
+
+    extras["contention_probe_s"]["post_suite"] = _contention_probe()
 
     total = round(sum(timings.values()), 3)
     result = {

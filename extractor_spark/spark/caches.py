@@ -14,9 +14,21 @@ no-op for it (the storage belongs to the internal RDD, not the cache
 manager), so checkpointed producers register a JVM-RDD handle captured by
 diffing ``getPersistentRDDs`` around the checkpoint call (verified
 empirically on Spark 4.1: only ``jrdd.unpersist()`` releases the blocks).
+
+OWNERSHIP
+---------
+``LIVE`` is a session-global registry with SINGLE-THREADED intent: queries
+are invoked sequentially (driver harness, bench.py, tests), and
+``retire_all()`` deliberately clears everything a consumer has finished
+with.  A concurrent caller could retire another in-flight query's
+checkpoint — callers that interleave cache-producing work inside a larger
+job must use :func:`scope` (curate does), which retires only registrations
+made inside the with-block.  Pinned by tests/test_caches_scope.py.
 """
 
 from __future__ import annotations
+
+import contextlib
 
 LIVE: list = []
 
@@ -44,6 +56,21 @@ def retire_since(mark: int) -> None:
             LIVE.pop().unpersist()
         except Exception:
             pass
+
+
+@contextlib.contextmanager
+def scope():
+    """Scoped ownership: retires (on exit, including on error) only the
+    caches registered INSIDE the with-block.  Registrations made before
+    entry — owned by pending lazy query results elsewhere — are untouched.
+    This is the sanctioned way for a composite job to consume
+    cache-producing sub-queries without the session-global ``retire_all``
+    footgun (round-3 verdict item 7)."""
+    mark = len(LIVE)
+    try:
+        yield
+    finally:
+        retire_since(mark)
 
 
 class JvmRddHandle:

@@ -547,3 +547,56 @@ def test_pdf_text_stage_extracts_and_tolerates_non_pdf(spark):
     assert out[2] is None           # non-PDF -> null, no exception
     assert out[3] == ""             # parseable-but-empty PDF -> empty text
     assert out[4] is None
+
+
+def _marker_resize(payload: bytes, width: int, height: int) -> bytes:
+    # encodes (input, dims) into the output so each row proves its own
+    # invocation — executor-side counters can't reach the driver
+    return b"CUSTOM:" + bytes([width, height]) + bytes(payload[::-1])
+
+
+def _marker_frame_decoder(payload: bytes, n_frames: int):
+    return [b"F%d:" % i + bytes(payload[:4]) for i in range(n_frames)]
+
+
+def test_custom_resizer_and_decoder_are_invoked_per_item(spark):
+    """Pluggable-seam contract (r3 verdict item 6): a caller-supplied
+    ``resizer``/``decoder`` callable must actually run inside the Arrow
+    batch for EVERY row — not be silently ignored in favor of the fake.
+    Stage UDFs execute in Python worker subprocesses, so instead of a mock
+    counter the custom callables stamp their input into their output and
+    every output row is checked against a local re-computation."""
+    import pandas as pd
+
+    from extractor_spark.spark.multimodal import (
+        MEDIA_SCHEMA,
+        resize_stage,
+        sample_frames_stage,
+    )
+
+    rows = [
+        {
+            "media_id": i,
+            "url": f"https://x.test/{i}.bin",
+            "payload": bytes([i]) * (16 + i),
+            "meta": None,
+        }
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+
+    resized = {r["media_id"]: r for r in resize_stage(df, 7, 9, resizer=_marker_resize).collect()}
+    assert len(resized) == len(rows)
+    for row in rows:
+        got = bytes(resized[row["media_id"]]["payload"])
+        assert got == _marker_resize(row["payload"], 7, 9), row["media_id"]
+
+    frames = sample_frames_stage(df, n_frames=3, decoder=_marker_frame_decoder).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], {})[r["frame_idx"]] = bytes(r["frame"])
+    assert set(by_media) == {row["media_id"] for row in rows}
+    for row in rows:
+        expect = _marker_frame_decoder(row["payload"], 3)
+        got = [by_media[row["media_id"]][i] for i in range(3)]
+        assert got == expect, row["media_id"]
