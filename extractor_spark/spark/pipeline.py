@@ -303,6 +303,7 @@ def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
 
     done_set = set(done)
     waves = max(1, conf.waves)
+    wave_seconds: list[float] = []
     for wave in range(waves):
         pages = (
             pages_all
@@ -314,7 +315,9 @@ def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
             for b in range(conf.n_buckets)
             if b % waves == wave and b not in done_set
         ]
+        t_wave = time.time()
         _run_wave(spark, conf, pages, n_parts, manifest_path, wave_buckets, run_id)
+        wave_seconds.append(round(time.time() - t_wave, 3))
 
     wall = time.time() - started
     # totals from the written manifest (tiny) — not a recompute of the agg.
@@ -346,6 +349,7 @@ def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
         "cumulative_docs": cumulative["docs"],
         "skipped_buckets": skipped_buckets,
         "wall_seconds": wall,
+        "wave_seconds": wave_seconds,
         "docs_per_sec": (totals["docs"] or 0) / wall if wall > 0 else None,
         "run_id": run_id,
         "output_path": conf.output_path,

@@ -190,3 +190,26 @@ class TestGenerateExtractionPrompt:  # :192-256
         assert custom in prompt
         assert "Extraction context" in prompt
         assert json.dumps(ctx, indent=2, ensure_ascii=False) in prompt
+
+
+def test_schema_memo_mutation_detected_when_check_enabled(monkeypatch):
+    """ADVICE r3: the per-object schema memo serves stale forms if the
+    caller mutates the dict in place.  The opt-in fingerprint check
+    (EXTRACTOR_SCHEMA_MEMO_CHECK=1) must catch that; unmutated re-use
+    stays a silent cache hit."""
+    from extractor_spark.engine import extract_llm as mod
+
+    monkeypatch.setattr(mod, "_MEMO_CHECK", True)
+    mod._SCHEMA_FORMS_CACHE.clear()
+    schema = {"type": "object", "properties": {"a": {"type": "string"}}}
+    n1, l1 = mod._schema_forms(schema)
+    n2, l2 = mod._schema_forms(schema)  # clean hit
+    assert n1 is n2 and l1 is l2
+    schema["properties"]["b"] = {"type": "number"}  # in-place mutation
+    try:
+        mod._schema_forms(schema)
+        raise SystemExit("mutation not detected")
+    except AssertionError as e:
+        assert "mutated in place" in str(e)
+    finally:
+        mod._SCHEMA_FORMS_CACHE.clear()
