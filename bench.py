@@ -242,6 +242,10 @@ def main() -> None:
         "crawl_delta",
         "temperature_mixture",
         "hot_keys",
+        # round-4 additions
+        "gopher_quality_flags",
+        "c4_line_filters",
+        "dsir_importance",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

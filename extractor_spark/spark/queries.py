@@ -2018,6 +2018,226 @@ def _pdf_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-4 curation-rule operators (published heuristics, map-only at scale)
+# ---------------------------------------------------------------------------
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models: Methods,
+# Analysis & Insights from Training Gopher", App. A1.1) — per-doc flags, all
+# computed from ONE split of the text so the scan stays a single projection.
+# Ratios are emitted as floor'd permille BIGINTs: floor division is
+# bit-identical across Spark and DuckDB (round() is not), and atomic columns
+# survive the driver canonicalizer.  Map-only: no shuffle at any scale.
+_GOPHER_STOP = "('the','be','to','of','and','that','have','with')"
+_GOPHER_SPARK = f"""
+WITH w AS (
+  SELECT doc_id,
+         split(trim(text), '\\\\s+') AS words,
+         filter(split(text, '\\n'), l -> length(trim(l)) > 0) AS lines
+  FROM documents WHERE length(trim(text)) > 0
+), m AS (
+  SELECT doc_id,
+         CAST(size(words) AS BIGINT) AS n_words,
+         CAST(aggregate(words, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS BIGINT) AS n_word_chars,
+         CAST(size(filter(words, x -> x rlike '[#…]')) AS BIGINT) AS n_symbol_words,
+         CAST(size(filter(words, x -> x rlike '[A-Za-z]')) AS BIGINT) AS n_alpha_words,
+         CAST(size(array_intersect(transform(words, x -> lower(x)),
+                                   array{_GOPHER_STOP.replace("(", "(", 1)})) AS BIGINT) AS n_stop_hits,
+         CAST(size(lines) AS BIGINT) AS n_lines,
+         CAST(size(filter(lines, l -> trim(l) rlike '^[-•*]')) AS BIGINT) AS n_bullet_lines,
+         CAST(size(filter(lines, l -> trim(l) rlike '(…|\\\\.\\\\.\\\\.)$')) AS BIGINT) AS n_ellipsis_lines
+  FROM w
+)
+SELECT doc_id, n_words,
+       CAST(FLOOR(1000 * n_word_chars / n_words) AS BIGINT) AS mean_wordlen_milli,
+       CAST(FLOOR(1000 * n_symbol_words / n_words) AS BIGINT) AS symbol_ratio_milli,
+       CAST(FLOOR(1000 * n_alpha_words / n_words) AS BIGINT) AS alpha_ratio_milli,
+       n_stop_hits, n_lines,
+       CAST(FLOOR(1000 * n_bullet_lines / GREATEST(n_lines, 1)) AS BIGINT) AS bullet_ratio_milli,
+       CAST(FLOOR(1000 * n_ellipsis_lines / GREATEST(n_lines, 1)) AS BIGINT) AS ellipsis_ratio_milli,
+       (n_words BETWEEN 50 AND 100000
+        AND FLOOR(1000 * n_word_chars / n_words) BETWEEN 3000 AND 10000
+        AND 1000 * n_symbol_words <= 100 * n_words
+        AND 1000 * n_alpha_words >= 800 * n_words
+        AND n_stop_hits >= 2
+        AND 1000 * n_bullet_lines <= 900 * GREATEST(n_lines, 1)
+        AND 1000 * n_ellipsis_lines <= 300 * GREATEST(n_lines, 1)) AS gopher_pass
+FROM m
+"""
+
+# DuckDB twin (pytest gate tests/test_curation_rules.py — rows-only in the
+# driver registry: the 50 oracled slots are full, so parity is pinned in-repo)
+_GOPHER_DUCK = f"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS words,
+         list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines
+  FROM documents WHERE length(trim(text)) > 0
+), m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT) AS n_word_chars,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[#…]'))) AS BIGINT) AS n_symbol_words,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+         CAST(len(list_intersect(list_transform(words, x -> lower(x)),
+                                 {_GOPHER_STOP.replace("(", "[", 1).replace(")", "]", 1)})) AS BIGINT) AS n_stop_hits,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-•*]'))) AS BIGINT) AS n_bullet_lines,
+         CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(…|\\.\\.\\.)$'))) AS BIGINT) AS n_ellipsis_lines
+  FROM w
+)
+SELECT doc_id, n_words,
+       CAST(FLOOR(1000 * n_word_chars / n_words) AS BIGINT) AS mean_wordlen_milli,
+       CAST(FLOOR(1000 * n_symbol_words / n_words) AS BIGINT) AS symbol_ratio_milli,
+       CAST(FLOOR(1000 * n_alpha_words / n_words) AS BIGINT) AS alpha_ratio_milli,
+       n_stop_hits, n_lines,
+       CAST(FLOOR(1000 * n_bullet_lines / GREATEST(n_lines, 1)) AS BIGINT) AS bullet_ratio_milli,
+       CAST(FLOOR(1000 * n_ellipsis_lines / GREATEST(n_lines, 1)) AS BIGINT) AS ellipsis_ratio_milli,
+       (n_words BETWEEN 50 AND 100000
+        AND FLOOR(1000 * n_word_chars / n_words) BETWEEN 3000 AND 10000
+        AND 1000 * n_symbol_words <= 100 * n_words
+        AND 1000 * n_alpha_words >= 800 * n_words
+        AND n_stop_hits >= 2
+        AND 1000 * n_bullet_lines <= 900 * GREATEST(n_lines, 1)
+        AND 1000 * n_ellipsis_lines <= 300 * GREATEST(n_lines, 1)) AS gopher_pass
+FROM m
+"""
+
+# C4 line-level filters (Raffel et al. 2020, JMLR 21(140), §2.2): keep lines
+# that end in terminal punctuation AND have ≥5 words AND don't mention
+# javascript; doc-level: drop docs containing '{' / 'lorem ipsum' or with
+# <3 surviving lines.  Single projection per doc; map-only at any scale.
+_C4_KEEP_LAMBDA = (
+    "l -> right(trim(l), 1) IN ('.', '!', '?', '\"') "
+    "AND size(split(trim(l), '\\\\s+')) >= 5 "
+    "AND NOT lower(l) LIKE '%javascript%'"
+)
+_C4_SPARK = f"""
+WITH l AS (
+  SELECT doc_id, text,
+         filter(split(text, '\\n'), l -> length(trim(l)) > 0) AS lines
+  FROM documents WHERE length(trim(text)) > 0
+), k AS (
+  SELECT doc_id, text,
+         CAST(size(lines) AS BIGINT) AS n_lines,
+         filter(lines, {_C4_KEEP_LAMBDA}) AS kept
+  FROM l
+)
+SELECT doc_id, n_lines,
+       CAST(size(kept) AS BIGINT) AS n_kept_lines,
+       CAST(aggregate(kept, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS BIGINT) AS kept_chars,
+       (instr(text, '{{') > 0) AS has_brace,
+       (instr(lower(text), 'lorem ipsum') > 0) AS has_lorem,
+       (size(kept) >= 3 AND instr(text, '{{') = 0
+        AND instr(lower(text), 'lorem ipsum') = 0) AS c4_keep
+FROM k
+"""
+_C4_DUCK = """
+WITH l AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines
+  FROM documents WHERE length(trim(text)) > 0
+), k AS (
+  SELECT doc_id, text,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         list_filter(lines, l -> right(trim(l), 1) IN ('.', '!', '?', '"')
+                     AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+                     AND NOT lower(l) LIKE '%javascript%') AS kept
+  FROM l
+)
+SELECT doc_id, n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       CAST(COALESCE(list_sum(list_transform(kept, x -> length(x))), 0) AS BIGINT) AS kept_chars,
+       (instr(text, '{') > 0) AS has_brace,
+       (instr(lower(text), 'lorem ipsum') > 0) AS has_lorem,
+       (len(kept) >= 3 AND instr(text, '{') = 0
+        AND instr(lower(text), 'lorem ipsum') = 0) AS c4_keep
+FROM k
+"""
+
+
+def _dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", NeurIPS): hashed word-level
+    unigram+bigram features; per-doc importance = Σ_f log p_target(f) −
+    log p_raw(f) over the doc's features, with add-one smoothing over
+    B=4096 hash buckets.  Target distribution = the corpus's English docs,
+    raw = the whole corpus (self-contained demo of the estimator; in
+    production the target table is a curated seed corpus).
+
+    Scale shape: ONE explode of grams → map-side-combined conditional agg
+    to a ≤B-row bucket table (shuffle O(B×partitions)) → totals folded in
+    via a single-row cross join (broadcast) → log-ratio table broadcast
+    back onto the gram stream (no corpus shuffle) → per-doc sum (the one
+    real shuffle, on doc_id).  At 100 TB nothing materializes beyond the
+    B-row model and the per-doc scores.  Rows-only: xxhash64 bucketing has
+    no DuckDB twin; gates in tests/test_curation_rules.py (determinism,
+    finiteness, English-vs-non-English separation, bucket-table bound).
+    """
+    from pyspark.sql import functions as F
+
+    _views(spark, sf_dir)
+    B = 4096
+    docs = spark.table("documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    words = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_target"),
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"),
+    )
+    grams = words.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.concat(
+                F.col("w"),
+                F.zip_with(
+                    F.col("w"),
+                    F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(1))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            )
+        ).alias("gram"),
+    ).filter(F.col("gram") != "")
+    bucketed = grams.select(
+        "doc_id",
+        "is_target",
+        F.pmod(F.xxhash64("gram"), F.lit(B)).alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("raw_cnt"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tgt_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("raw_cnt").alias("raw_total"), F.sum("tgt_cnt").alias("tgt_total")
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("tgt_cnt") + 1) / (F.col("tgt_total") + B))
+            - F.log((F.col("raw_cnt") + 1) / (F.col("raw_total") + B))
+        ).alias("log_ratio"),
+    )
+    scored = (
+        bucketed.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("log_ratio").alias("raw_score"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_feats").cast("bigint").alias("n_features"),
+            # micro-scaled integer score: atomic + hash-stable
+            F.round(F.col("raw_score") / F.col("n_feats") * 1e6)
+            .cast("bigint")
+            .alias("importance_micro"),
+        )
+    )
+    return scored.orderBy(F.col("importance_micro").desc(), "doc_id").limit(200)
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     #
@@ -2091,4 +2311,9 @@ QUERIES: dict[str, tuple] = {
     "ivf_topk": (_ivf_topk, None),
     "semantic_dedup": (_semantic_dedup, None),
     "markdown_sections": (_markdown_sections, None),
+    # round-4 curation rules: DuckDB twins pinned in
+    # tests/test_curation_rules.py (driver's 50 oracled slots are full)
+    "gopher_quality_flags": (_sql(_GOPHER_SPARK), None),
+    "c4_line_filters": (_sql(_C4_SPARK), None),
+    "dsir_importance": (_dsir_importance, None),
 }

@@ -1,0 +1,131 @@
+"""Round-4 curation-rule operators: Gopher quality flags, C4 line filters,
+DSIR importance weights.
+
+The driver's 50 oracled registry slots are full, so these are rows-only
+there — but gopher/c4 get full DuckDB-twin equality HERE (same strength
+as the oracle gate, pinned in-repo), and DSIR gets property gates
+(determinism, finiteness, en-vs-non-en separation, bucket bound).
+"""
+
+import duckdb
+import pytest
+
+from extractor_spark.spark.queries import (
+    _C4_DUCK,
+    _C4_SPARK,
+    _GOPHER_DUCK,
+    _GOPHER_SPARK,
+    QUERIES,
+    _views,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from extractor_spark.spark.session import get_spark
+
+    s = get_spark("curation-rules-tests", cpus=8)
+    yield s
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize(
+    "spark_sql,duck_sql", [(_GOPHER_SPARK, _GOPHER_DUCK), (_C4_SPARK, _C4_DUCK)]
+)
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_rule_query_matches_duckdb_twin(spark, spark_sql, duck_sql, sf_dir):
+    _views(spark, sf_dir)
+    sdf = spark.sql(spark_sql).toPandas()
+    odf = _duck(sf_dir).execute(duck_sql).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    cols = sorted(sdf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(s) == len(o) and len(s) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(s, o, check_dtype=False)
+
+
+def test_gopher_flags_on_engineered_docs(spark):
+    """Each Gopher rule must fire on a doc engineered to violate exactly it."""
+    good_words = ("the quick brown fox and that dog have fun with it . " * 10).split()
+    docs = [
+        (1, " ".join(good_words)),  # passes everything
+        (2, "short text the and of"),  # n_words < 50
+        (3, " ".join(["####"] * 60) + " the and that have with be to of"),  # symbols/alpha
+        (4, "\n".join(["- bullet item the and that have" + " w" * 44] * 10)),  # bullets
+    ]
+    import pandas as pd
+
+    spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "text"])
+    ).createOrReplaceTempView("documents")
+    rows = {r["doc_id"]: r.asDict() for r in spark.sql(_GOPHER_SPARK).collect()}
+    assert rows[1]["gopher_pass"] is True
+    assert rows[2]["gopher_pass"] is False and rows[2]["n_words"] < 50
+    assert rows[3]["gopher_pass"] is False
+    assert rows[3]["symbol_ratio_milli"] > 100 or rows[3]["alpha_ratio_milli"] < 800
+    assert rows[4]["gopher_pass"] is False and rows[4]["bullet_ratio_milli"] > 900
+
+
+def test_c4_rules_on_engineered_docs(spark):
+    import pandas as pd
+
+    docs = [
+        # 3 well-formed sentences on their own lines -> keep
+        (1, "This is a proper sentence one.\nAnother full sentence right here.\nAnd a third complete sentence now."),
+        # javascript line + short lines -> only 2 keepable -> drop
+        (2, "Please enable javascript to continue browsing.\nok.\nAnother full sentence right here.\nAnd a third complete sentence now."),
+        # lorem ipsum -> drop
+        (3, "Lorem ipsum dolor sit amet something.\nAnother full sentence right here.\nAnd a third complete sentence now."),
+        # brace -> drop
+        (4, "This sentence mentions a { brace token.\nAnother full sentence right here.\nAnd a third complete sentence now."),
+        # no terminal punctuation -> lines dropped
+        (5, "no punctuation here at all\nstill none in this line\nnor in this final one"),
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "text"])
+    ).createOrReplaceTempView("documents")
+    rows = {r["doc_id"]: r.asDict() for r in spark.sql(_C4_SPARK).collect()}
+    assert rows[1]["c4_keep"] is True and rows[1]["n_kept_lines"] == 3
+    assert rows[2]["c4_keep"] is False and rows[2]["n_kept_lines"] == 2
+    assert rows[3]["c4_keep"] is False and rows[3]["has_lorem"] is True
+    assert rows[4]["c4_keep"] is False and rows[4]["has_brace"] is True
+    assert rows[5]["c4_keep"] is False and rows[5]["n_kept_lines"] == 0
+
+
+def test_dsir_importance_gates(spark):
+    fn, _ = QUERIES["dsir_importance"]
+    out1 = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    out2 = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    assert out1 == out2, "DSIR scores must be deterministic"
+    assert 0 < len(out1) <= 200
+    scores = {doc_id: imp for doc_id, _nf, imp in out1}
+    assert all(isinstance(v, int) for v in scores.values()), "scores must be atomic ints"
+
+    # separation: with target = English docs, English docs should dominate
+    # the top of the importance ranking
+    _views(spark, SF_DIR)
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.table("documents").select("doc_id", "lang").collect()
+    }
+    top50 = [doc_id for doc_id, _nf, _imp in out1[:50]]
+    en_frac_top = sum(langs[d] == "en" for d in top50) / len(top50)
+    en_frac_all = sum(v == "en" for v in langs.values()) / len(langs)
+    assert en_frac_top > en_frac_all + 0.2, (en_frac_top, en_frac_all)
