@@ -2192,9 +2192,12 @@ def _dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.concat(
                 F.col("w"),
+                # both slices are exactly size-1 long: zip_with otherwise
+                # null-pads the shorter side and concat_ws would leak the
+                # doc's last word in again as a duplicate unigram
                 F.zip_with(
-                    F.col("w"),
-                    F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(1))),
+                    F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                    F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
                     lambda a, b: F.concat_ws(" ", a, b),
                 ),
             )
