@@ -246,6 +246,7 @@ def main() -> None:
         "gopher_quality_flags",
         "c4_line_filters",
         "dsir_importance",
+        "line_dedup_corpus",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

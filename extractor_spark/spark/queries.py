@@ -2156,6 +2156,64 @@ FROM k
 """
 
 
+# Corpus-wide exact line dedup (RefinedWeb / Falcon, Penedo et al. 2023
+# §3.3: lines duplicated across the corpus — boilerplate nav, cookie
+# banners — are removed from every document; the doc survives with its
+# remaining lines in order).  Shape: explode lines with position → count
+# occurrences per normalized line (ONE map-side-combined shuffle) → keep
+# lines whose corpus count ≤ K → reassemble per doc ordered by position
+# (second shuffle on doc_id).  At 100 TB the line-count table is the only
+# wide state and it partial-aggregates; no joins beyond the count join.
+_LINE_DEDUP_SPARK = """
+WITH lines AS (
+  SELECT doc_id, posexplode(split(text, '\\n')) AS (pos, line)
+  FROM documents WHERE length(trim(text)) > 0
+), norm AS (
+  SELECT doc_id, pos, line, lower(trim(line)) AS key
+  FROM lines WHERE length(trim(line)) > 0
+), counts AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_docs_with_line
+  FROM (SELECT DISTINCT doc_id, key FROM norm)
+  GROUP BY key
+)
+SELECT n.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines_in,
+       CAST(sum(CASE WHEN c.n_docs_with_line <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+       concat_ws('\\n',
+         transform(
+           array_sort(collect_list(CASE WHEN c.n_docs_with_line <= 2
+                                        THEN struct(n.pos AS pos, n.line AS line) END)),
+           s -> s.line)) AS deduped_text
+FROM norm n JOIN counts c ON n.key = c.key
+GROUP BY n.doc_id
+"""
+_LINE_DEDUP_DUCK = """
+WITH splits AS (
+  SELECT doc_id, string_split(text, chr(10)) AS l
+  FROM documents WHERE length(trim(text)) > 0
+), lines AS (
+  -- WITH ORDINALITY / lateral range() are unimplemented in this DuckDB
+  -- build; parallel unnest + generate_subscripts is the positional unnest
+  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS line
+  FROM splits
+), norm AS (
+  SELECT doc_id, pos, line, lower(trim(line)) AS key
+  FROM lines WHERE length(trim(line)) > 0
+), counts AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_docs_with_line
+  FROM (SELECT DISTINCT doc_id, key FROM norm)
+  GROUP BY key
+)
+SELECT n.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines_in,
+       CAST(sum(CASE WHEN c.n_docs_with_line <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+       COALESCE(string_agg(CASE WHEN c.n_docs_with_line <= 2 THEN n.line END, chr(10)
+                           ORDER BY n.pos), '') AS deduped_text
+FROM norm n JOIN counts c ON n.key = c.key
+GROUP BY n.doc_id
+"""
+
+
 def _dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", NeurIPS): hashed word-level
@@ -2319,4 +2377,5 @@ QUERIES: dict[str, tuple] = {
     "gopher_quality_flags": (_sql(_GOPHER_SPARK), None),
     "c4_line_filters": (_sql(_C4_SPARK), None),
     "dsir_importance": (_dsir_importance, None),
+    "line_dedup_corpus": (_sql(_LINE_DEDUP_SPARK), None),
 }

@@ -129,3 +129,46 @@ def test_dsir_importance_gates(spark):
     en_frac_top = sum(langs[d] == "en" for d in top50) / len(top50)
     en_frac_all = sum(v == "en" for v in langs.values()) / len(langs)
     assert en_frac_top > en_frac_all + 0.2, (en_frac_top, en_frac_all)
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_line_dedup_matches_duckdb_twin(spark, sf_dir):
+    from extractor_spark.spark.queries import _LINE_DEDUP_DUCK, _LINE_DEDUP_SPARK
+
+    _views(spark, sf_dir)
+    sdf = spark.sql(_LINE_DEDUP_SPARK).toPandas()
+    odf = _duck(sf_dir).execute(_LINE_DEDUP_DUCK).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    s = sdf[cols].sort_values("doc_id").reset_index(drop=True)
+    o = odf[cols].sort_values("doc_id").reset_index(drop=True)
+    assert len(s) == len(o) and len(s) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(s, o, check_dtype=False)
+
+
+def test_line_dedup_removes_cross_corpus_boilerplate(spark):
+    """A nav line shared by >2 docs disappears from every doc; unique lines
+    survive in original order; a doc of pure boilerplate ends up empty."""
+    import pandas as pd
+
+    nav = "Home | About | Contact"
+    docs = [
+        (1, f"{nav}\nUnique first line one.\nAnother unique line."),
+        (2, f"{nav}\nDifferent body text here."),
+        (3, f"{nav}\nThird doc body."),
+        (4, nav),  # nothing but boilerplate
+        (5, "Entirely unique document.\nSecond unique line."),
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "text"])
+    ).createOrReplaceTempView("documents")
+    from extractor_spark.spark.queries import _LINE_DEDUP_SPARK
+
+    rows = {r["doc_id"]: r.asDict() for r in spark.sql(_LINE_DEDUP_SPARK).collect()}
+    assert rows[1]["deduped_text"] == "Unique first line one.\nAnother unique line."
+    assert rows[2]["deduped_text"] == "Different body text here."
+    assert rows[4]["deduped_text"] == "" and rows[4]["n_lines_kept"] == 0
+    assert rows[5]["deduped_text"] == "Entirely unique document.\nSecond unique line."
+    assert rows[1]["n_lines_in"] == 3 and rows[1]["n_lines_kept"] == 2
