@@ -51,6 +51,11 @@ _SIBLING_CLOSERS = {
     "button": frozenset(["button"]),
 }
 
+# Union gate: a start tag outside this set can trigger no implicit close —
+# _insert_start skips the _implicit_close call entirely (pure fast-path;
+# _implicit_close itself is unchanged)
+_IMPLICIT_CLOSE_TRIGGERS = _P_CLOSERS | frozenset(_SIBLING_CLOSERS)
+
 # Scope barriers: implicit sibling/p closing never crosses these.
 _SCOPE_BARRIERS = frozenset(
     "html body table template ul ol dl select td th caption".split()
@@ -348,8 +353,11 @@ class _TreeBuilder(HTMLParser):
             if tag in ("html", "head", "body"):
                 return  # ignored in fragment context
 
-        self._implicit_close(tag)
-        el = Element(tag, self._make_attrs(attr_list))
+        if tag in _IMPLICIT_CLOSE_TRIGGERS:
+            self._implicit_close(tag)
+        # attr-less tags (the majority) skip the dict-building call;
+        # Element() creates the empty attrs dict itself
+        el = Element(tag, self._make_attrs(attr_list) if attr_list else None)
         self._current().append(el)
         if tag not in VOID_ELEMENTS and not self_closing:
             self._stack.append(el)

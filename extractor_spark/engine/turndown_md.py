@@ -81,24 +81,10 @@ def _is_block(node) -> bool:
     return node.node_type == ELEMENT_NODE and node.tag in BLOCK_ELEMENTS
 
 
-def _has_descendant_in(el: Element, tags: frozenset) -> bool:
-    for child in el.iter_elements():
-        if child.tag in tags:
-            return True
-    return False
-
-
+# turndown's isBlank rule (blank = not void/meaningful-when-blank, text is
+# whitespace-only, and no void/meaningful-when-blank descendant) lives
+# inlined in _apply_rule, with the descendant walk memoized per conversion.
 _VOID_OR_MEANINGFUL = VOID_ELEMENTS | MEANINGFUL_WHEN_BLANK
-
-
-def _is_blank(el: Element, text_content: str) -> bool:
-    # single fused subtree walk: no descendant in EITHER set ≡ no descendant
-    # in the union
-    return (
-        el.tag not in _VOID_OR_MEANINGFUL
-        and _JS_WS_ONLY_RE.match(text_content) is not None
-        and not _has_descendant_in(el, _VOID_OR_MEANINGFUL)
-    )
 
 
 def _is_code(node) -> bool:
@@ -404,19 +390,59 @@ class TurndownConverter:
 
     def _convert_root(self, root: Element) -> str:
         collapse_whitespace(root)
-        # per-conversion textContent cache: the tree is immutable during the
-        # walk, and blank/flanking checks each revisit the same subtrees
+        # Per-conversion textContent SURROGATE cache.  Every consumer of a
+        # node's text (blank check, _EDGE_WS_RE flanking, sibling
+        # startswith/endswith(" ")) only inspects whitespace-only-ness and
+        # the leading/trailing whitespace runs — never interior content.
+        # The surrogate preserves exactly those: the full string when it is
+        # whitespace-only, else lead-run + "x" + trail-run.  Composition is
+        # bottom-up over children surrogates, so the walk is O(total text)
+        # instead of the full-textContent cache's O(nodes × depth) string
+        # rebuilding (equivalence pinned by the byte-locked converter
+        # goldens + the fast-path and semantics fuzz suites).
         cache: dict = {}
 
         def tc(node):
             key = id(node)
             value = cache.get(key)
             if value is None:
-                value = node.text_content()
+                parts = []
+                for ch in node.children:
+                    t = ch.node_type
+                    if t == TEXT_NODE:
+                        parts.append(ch.data)
+                    elif t == ELEMENT_NODE:
+                        parts.append(tc(ch))
+                full = "".join(parts)
+                core = full.strip(_JS_WS_CHARS)
+                if core:
+                    lead = len(full) - len(full.lstrip(_JS_WS_CHARS))
+                    trail = len(full) - len(full.rstrip(_JS_WS_CHARS))
+                    value = full[:lead] + "x" + full[len(full) - trail :]
+                else:
+                    value = full  # whitespace-only: the string IS its edges
                 cache[key] = value
             return value
 
+        hd_cache: dict = {}
+
+        def hd(el):
+            """Memoized 'has a void/meaningful-when-blank descendant'."""
+            key = id(el)
+            value = hd_cache.get(key)
+            if value is None:
+                value = False
+                for ch in el.children:
+                    if ch.node_type == ELEMENT_NODE and (
+                        ch.tag in _VOID_OR_MEANINGFUL or hd(ch)
+                    ):
+                        value = True
+                        break
+                hd_cache[key] = value
+            return value
+
         self._tc = tc
+        self._hd = hd
         output = self._process(root)
         # ≡ _LEAD_TRN_RE / _TRAIL_WS_RE subs (charset-identity fuzz-checked);
         # str.strip avoids rescanning the whole document string
@@ -469,7 +495,13 @@ class TurndownConverter:
     def _apply_rule(self, node: Element, content: str, next_sib) -> str:
         tag = node.tag
 
-        if _is_blank(node, self._tc(node)):
+        # inline _is_blank with the memoized descendant check (hd): the
+        # per-element subtree walk was O(nodes × depth) across a conversion
+        if (
+            tag not in _VOID_OR_MEANINGFUL
+            and _JS_WS_ONLY_RE.match(self._tc(node)) is not None
+            and not self._hd(node)
+        ):
             return "\n\n" if _is_block(node) else ""
 
         # custom rule: images (converters.ts:179-216)
