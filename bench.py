@@ -24,8 +24,11 @@ import time
 
 
 
-_PROBE_NOMINAL_S = 0.29  # clean-window calibration: 5 trials of the probe
-# body measured 0.285-0.325 s on this host (2026-08-17, idle)
+_PROBE_NOMINAL_S = 0.175  # clean-window calibration: probe body measured
+# 0.167-0.196 s on this host (2026-08-17, idle).  RECALIBRATE whenever the
+# converter's single-core speed changes materially — the probe runs the
+# real engine, so an engine speedup lowers nominal (r4 engine: 0.29->0.175
+# after the surrogate-textContent and DOM fast paths).
 
 
 def _contention_probe() -> float:

@@ -102,7 +102,7 @@ def tokenize(data: str, builder) -> None:
             # attr grammar and the attr loop can be skipped entirely
             # (equivalence gated by test_tokenizer_equiv.py)
             tm0 = _tagfind.match(data, i + 1)
-            if tm0 is not None and data[tm0.end() : tm0.end() + 1] == ">":
+            if tm0 is not None and tm0.end() < n and data[tm0.end()] == ">":
                 tag = tm0.group(1).lower()
                 builder.handle_starttag(tag, [])
                 if tag in _CDATA_ELEMS:
@@ -137,7 +137,7 @@ def tokenize(data: str, builder) -> None:
                         attrvalue = unescape(attrvalue)
                     attrs.append((attrname.lower(), attrvalue))
                     k = am.end()
-                nxt2 = data[k : k + 1]
+                nxt2 = data[k] if k < n else ""
                 if nxt2 == ">":
                     tag = tm0.group(1).lower()
                     builder.handle_starttag(tag, attrs)
