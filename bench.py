@@ -250,6 +250,7 @@ def main() -> None:
         "c4_line_filters",
         "dsir_importance",
         "line_dedup_corpus",
+        "meta_blocking_prune",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

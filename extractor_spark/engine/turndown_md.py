@@ -568,9 +568,10 @@ class TurndownConverter:
         if tag in ("strong", "b"):
             return f"**{content}**" if js_trim(content) else ""
         if tag == "code":
-            has_siblings = (node.parent is not None) and (
-                node.parent.prev_sibling(node) is not None
-                or node.parent.next_sibling(node) is not None
+            # O(1): "has any sibling" ≡ parent has >1 child (the index-scan
+            # prev/next_sibling pair was O(parent width) per <code>)
+            has_siblings = (
+                node.parent is not None and len(node.parent.children) > 1
             )
             is_code_block = (
                 node.parent is not None

@@ -2214,6 +2214,85 @@ GROUP BY n.doc_id
 """
 
 
+# SparkER-style meta-blocking (Simonini et al., "Schema-agnostic vs
+# schema-based configurations for blocking methods on homogeneous data",
+# VLDB 2019 / SparkER EDBT 2019 demo): treat MinHash LSH buckets as blocks,
+# weight each candidate edge by its number of shared blocks (CBS scheme),
+# then Weighted Node Pruning: an edge survives if its weight reaches the
+# mean edge weight of EITHER endpoint (redistribution variant).  Prunes the
+# low-evidence tail of the candidate set before the expensive verify join.
+_META_EDGES_SQL = """
+WITH toks AS (
+  SELECT doc_id, split(trim(text), '\\\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, sh.shingle
+  FROM toks
+  LATERAL VIEW explode(
+    transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+  ) sh AS shingle
+  WHERE size(w) >= 3
+),
+seeded AS (
+  SELECT doc_id, s.seed, min(xxhash64(shingle, s.seed)) AS mh
+  FROM sh LATERAL VIEW posexplode(sequence(0, 63)) s AS seed, sval
+  GROUP BY doc_id, s.seed
+),
+sigs AS (
+  SELECT doc_id,
+         transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh) AS sig
+  FROM seeded GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.pos AS band_idx,
+         xxhash64(sig[b.pos * 4], sig[b.pos * 4 + 1], sig[b.pos * 4 + 2], sig[b.pos * 4 + 3]) AS band_hash
+  FROM sigs
+  LATERAL VIEW posexplode(sequence(0, 15)) b AS pos, val
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS weight
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+_META_PRUNE_SQL = """
+WITH node_means AS (
+  SELECT doc_id, avg(weight) AS mean_w FROM (
+    SELECT d1 AS doc_id, weight FROM _mb_edges
+    UNION ALL
+    SELECT d2 AS doc_id, weight FROM _mb_edges
+  ) GROUP BY doc_id
+)
+SELECT e.d1, e.d2, e.weight
+FROM _mb_edges e
+JOIN node_means m1 ON e.d1 = m1.doc_id
+JOIN node_means m2 ON e.d2 = m2.doc_id
+WHERE e.weight >= m1.mean_w OR e.weight >= m2.mean_w
+ORDER BY e.d1, e.d2
+"""
+
+
+def _meta_blocking_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking WNP over the MinHash-LSH block graph (docstring at the
+    SQL above).  The edge table feeds three consumers (two node-mean legs +
+    the final filter), so it is persisted — an inline CTE would re-run the
+    banded self-join per consumer (CLAUDE.md: CTE inlining).
+
+    Scale shape: block edges come from the banded equi-join with map-side-
+    combined weight counts (never all-pairs); node means are one agg over
+    the edge list (candidate-sized, not corpus-sized); the mean table
+    broadcasts back.  Rows-only: xxhash64 banding has no DuckDB twin;
+    gates in tests/test_curation_rules.py (pruning monotonicity, true-pair
+    recall vs the exact Jaccard oracle twin, determinism).
+    """
+    release_query_caches()
+    _views(spark, sf_dir)
+    edges = spark.sql(_META_EDGES_SQL).persist()
+    caches.register(edges)
+    edges.createOrReplaceTempView("_mb_edges")
+    return spark.sql(_META_PRUNE_SQL)
+
+
 def _dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", NeurIPS): hashed word-level
@@ -2378,4 +2457,5 @@ QUERIES: dict[str, tuple] = {
     "c4_line_filters": (_sql(_C4_SPARK), None),
     "dsir_importance": (_dsir_importance, None),
     "line_dedup_corpus": (_sql(_LINE_DEDUP_SPARK), None),
+    "meta_blocking_prune": (_meta_blocking_prune, None),
 }

@@ -172,3 +172,43 @@ def test_line_dedup_removes_cross_corpus_boilerplate(spark):
     assert rows[4]["deduped_text"] == "" and rows[4]["n_lines_kept"] == 0
     assert rows[5]["deduped_text"] == "Entirely unique document.\nSecond unique line."
     assert rows[1]["n_lines_in"] == 3 and rows[1]["n_lines_kept"] == 2
+
+
+def test_meta_blocking_prune_gates(spark):
+    """SparkER WNP gates: (1) kept edges are a subset of the unpruned
+    candidate set; (2) pruning actually removes the low-weight tail;
+    (3) true near-dup pairs (exact Jaccard >= 0.8 twin) that were in the
+    candidate set survive pruning — high-similarity pairs share many
+    bands, so their weights sit above the endpoint means; (4) determinism."""
+    from extractor_spark.spark.queries import QUERIES, release_query_caches
+
+    fn, _ = QUERIES["meta_blocking_prune"]
+    kept1 = {(r["d1"], r["d2"]): r["weight"] for r in fn(spark, SF_DIR).collect()}
+    release_query_caches()
+    kept2 = {(r["d1"], r["d2"]): r["weight"] for r in fn(spark, SF_DIR).collect()}
+    release_query_caches()
+    assert kept1 == kept2, "meta-blocking must be deterministic"
+    assert kept1, "pruned edge set is empty"
+
+    cand_fn, _ = QUERIES["minhash_lsh_candidates"]
+    candidates = {(r["d1"], r["d2"]) for r in cand_fn(spark, SF_DIR).collect()}
+    assert set(kept1) <= candidates, "pruned edges must come from the candidate set"
+    assert len(kept1) < len(candidates), (
+        "WNP should drop the low-weight tail", len(kept1), len(candidates))
+
+    # exact Jaccard >= 0.8 true pairs via the registered oracle query
+    from extractor_spark.spark.queries import _JACCARD_SPARK
+
+    _views(spark, SF_DIR)
+    jrows = spark.sql(_JACCARD_SPARK).collect()
+    cols = jrows[0].asDict().keys() if jrows else []
+    key1, key2 = list(cols)[:2]
+    true_pairs = {(r[key1], r[key2]) for r in jrows}
+    covered = true_pairs & candidates
+    assert covered, "no true pairs in candidate set (fixture drift?)"
+    survived = covered & set(kept1)
+    recall = len(survived) / len(covered)
+    # meta-blocking deliberately trades a little recall for candidate-set
+    # pruning (SparkER reports single-digit-% loss); measured here: 25/28
+    # = 0.893 at sf0.001 with ~40% of candidate edges pruned
+    assert recall >= 0.85, (recall, len(survived), len(covered))
