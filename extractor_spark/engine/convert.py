@@ -3,7 +3,18 @@
 
 from __future__ import annotations
 
+import sys
 from dataclasses import dataclass
+
+# Crawl pages nest arbitrarily deep (malformed HTML); the turndown walk and
+# the textContent surrogate recurse ~3 Python frames per DOM level, so the
+# default limit of 1000 rejected pages beyond ~330 levels that the Node
+# reference converts fine.  Pure-Python recursion does not consume C stack
+# on CPython 3.11+ (frames live on the heap), so a high limit is safe; DOM
+# *parsing* is already iterative.  Raised once at import — the converter
+# runs inside Spark Python workers, where this module import is the entry.
+if sys.getrecursionlimit() < 30_000:
+    sys.setrecursionlimit(30_000)
 
 from extractor_spark.engine.dom import Element
 from extractor_spark.engine.main_extract import extract_main_html

@@ -131,3 +131,19 @@ def test_json_repair_never_hangs(text):
     except Exception as exc:  # only ValueError is part of the contract
         raise AssertionError(f"unexpected {type(exc).__name__}: {exc}")
     json.loads(repaired)
+
+
+def test_pathological_nesting_and_width():
+    """Crawl-robustness: deeply nested (9k levels) and very wide (20k
+    sibling paragraphs) pages must convert, not RecursionError — the
+    turndown walk recurses ~3 frames/level and the module raises the
+    recursion limit at import (convert.py).  The Node reference handles
+    comparable depth on its default stack."""
+    from extractor_spark.engine.convert import convert_html_to_markdown
+
+    deep = "<div>" * 9000 + "deep text" + "</div>" * 9000
+    assert convert_html_to_markdown(deep) == "deep text"
+
+    wide = "<p>" + "</p><p>".join(f"para {i}." for i in range(20000)) + "</p>"
+    out = convert_html_to_markdown(wide)
+    assert out.startswith("para 0.") and out.rstrip().endswith("para 19999.")
