@@ -212,3 +212,72 @@ def test_meta_blocking_prune_gates(spark):
     # pruning (SparkER reports single-digit-% loss); measured here: 25/28
     # = 0.893 at sf0.001 with ~40% of candidate edges pruned
     assert recall >= 0.85, (recall, len(survived), len(covered))
+
+
+def test_dsir_scores_match_pandas_reference(spark):
+    """Numeric twin of DSIR scoring: take the SAME hashed gram->bucket
+    stream Spark computes (xxhash64 has no Python twin, so bucketing is
+    shared), then recompute the add-one-smoothed log-ratio model and
+    per-doc mean scores in pandas/numpy and demand equality with the
+    query's importance_micro output — oracle-strength for everything
+    downstream of the hash."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from extractor_spark.spark.queries import QUERIES
+
+    B = 4096
+    _views(spark, SF_DIR)
+    docs = spark.table("documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    words = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_target"),
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"),
+    )
+    grams = words.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.concat(
+                F.col("w"),
+                F.zip_with(
+                    F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                    F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            )
+        ).alias("gram"),
+    ).filter(F.col("gram") != "")
+    pdf = grams.select(
+        "doc_id",
+        "is_target",
+        F.pmod(F.xxhash64("gram"), F.lit(B)).alias("bucket"),
+    ).toPandas()
+
+    raw_cnt = pdf.groupby("bucket").size()
+    tgt_cnt = pdf[pdf["is_target"]].groupby("bucket").size()
+    raw_total, tgt_total = len(pdf), int(pdf["is_target"].sum())
+    log_ratio = {}
+    for b in raw_cnt.index:
+        t = int(tgt_cnt.get(b, 0))
+        r = int(raw_cnt[b])
+        log_ratio[b] = np.log((t + 1) / (tgt_total + B)) - np.log(
+            (r + 1) / (raw_total + B)
+        )
+    pdf["lr"] = pdf["bucket"].map(log_ratio)
+    ref = (
+        pdf.groupby("doc_id")["lr"]
+        .agg(["count", "sum"])
+        .assign(micro=lambda d: (d["sum"] / d["count"] * 1e6).round().astype("int64"))
+    )
+
+    fn, _ = QUERIES["dsir_importance"]
+    got = {r["doc_id"]: (r["n_features"], r["importance_micro"])
+           for r in fn(spark, SF_DIR).collect()}
+    assert got, "empty DSIR output"
+    for doc_id, (nf, micro) in got.items():
+        assert nf == int(ref.loc[doc_id, "count"]), (doc_id, nf)
+        # float-sum association order differs between engines; at micro
+        # resolution the mean is identical or off by at most 1 ulp-rounded unit
+        assert abs(micro - int(ref.loc[doc_id, "micro"])) <= 1, (
+            doc_id, micro, int(ref.loc[doc_id, "micro"]))
