@@ -2042,7 +2042,7 @@ WITH w AS (
          CAST(size(filter(words, x -> x rlike '[#…]')) AS BIGINT) AS n_symbol_words,
          CAST(size(filter(words, x -> x rlike '[A-Za-z]')) AS BIGINT) AS n_alpha_words,
          CAST(size(array_intersect(transform(words, x -> lower(x)),
-                                   array{_GOPHER_STOP.replace("(", "(", 1)})) AS BIGINT) AS n_stop_hits,
+                                   array{_GOPHER_STOP})) AS BIGINT) AS n_stop_hits,
          CAST(size(lines) AS BIGINT) AS n_lines,
          CAST(size(filter(lines, l -> trim(l) rlike '^[-•*]')) AS BIGINT) AS n_bullet_lines,
          CAST(size(filter(lines, l -> trim(l) rlike '(…|\\\\.\\\\.\\\\.)$')) AS BIGINT) AS n_ellipsis_lines
@@ -2164,6 +2164,9 @@ FROM k
 # lines whose corpus count ≤ K → reassemble per doc ordered by position
 # (second shuffle on doc_id).  At 100 TB the line-count table is the only
 # wide state and it partial-aggregates; no joins beyond the count join.
+# Output shape: one row per doc that has ≥1 non-blank line; a doc whose
+# every kept-check fails still appears (n_lines_kept=0, deduped_text='');
+# docs that were entirely blank to begin with are absent (twin matches).
 _LINE_DEDUP_SPARK = """
 WITH lines AS (
   SELECT doc_id, posexplode(split(text, '\\n')) AS (pos, line)
