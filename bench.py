@@ -50,6 +50,43 @@ def _contention_probe() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+_BW_NOMINAL_GBPS = 90.0  # clean-window aggregate memcpy bandwidth, 8 threads
+# (2026-08-17: best-of-3 measured 87-102 GB/s idle).  Run D showed why this
+# probe exists: the single-core CPU probe read clean while 32-core legs ran
+# 2x slow — co-tenant BANDWIDTH contention is invisible to a 1-core control.
+
+
+def _bandwidth_probe(threads: int = 8, mb: int = 128, reps: int = 3) -> float:
+    """Aggregate memcpy GB/s across `threads` (numpy releases the GIL on
+    large copies).  Buffers are pre-touched so page faults don't pollute
+    the number; best-of-3 inside one call."""
+    import threading
+
+    import numpy as np
+
+    src = [np.ones(mb * 1024 * 1024 // 8, dtype=np.float64) for _ in range(threads)]
+    dst = [np.ones_like(s) for s in src]
+
+    def run_once() -> float:
+        barrier = threading.Barrier(threads + 1)
+
+        def worker(i):
+            barrier.wait()
+            for _ in range(reps):
+                np.copyto(dst[i], src[i])
+
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(threads)]
+        for t in ts:
+            t.start()
+        barrier.wait()
+        t0 = time.perf_counter()
+        for t in ts:
+            t.join()
+        return threads * mb * reps * 2 / 1024 / (time.perf_counter() - t0)
+
+    return round(max(run_once() for _ in range(3)), 1)
+
+
 def _best_of(n_runs: int, fn) -> tuple[float, list[float]]:
     """Run fn() n_runs times; return (best seconds, all raw times).
 
@@ -119,16 +156,23 @@ def main() -> None:
     # JSON) adds a 4th leg when the host is measurably degraded, and the
     # post-suite probe documents whether the window persisted.
     probe_pre = _contention_probe()
+    bw_pre = _bandwidth_probe()
     extras["contention_probe_s"] = {"nominal": _PROBE_NOMINAL_S, "pre": probe_pre}
-    degraded = probe_pre > 1.25 * _PROBE_NOMINAL_S
+    extras["bandwidth_probe_gbps"] = {"nominal": _BW_NOMINAL_GBPS, "pre": bw_pre}
+    degraded = probe_pre > 1.25 * _PROBE_NOMINAL_S or bw_pre < 0.6 * _BW_NOMINAL_GBPS
     n_legs = 4 if degraded else 3
     timings["extract_pipeline"], extras["pipeline_runs"] = _best_of(n_legs, _run_main)
     # re-probe after the headline: if the host degraded mid-suite AND the
     # legs disagree >2x, one more leg gives the clean window a last chance
     probe_mid = _contention_probe()
+    bw_mid = _bandwidth_probe()
     extras["contention_probe_s"]["post_pipeline"] = probe_mid
+    extras["bandwidth_probe_gbps"]["post_pipeline"] = bw_mid
     spread = max(extras["pipeline_runs"]) / min(extras["pipeline_runs"])
-    if probe_mid > 1.25 * _PROBE_NOMINAL_S and spread > 2.0:
+    if (
+        probe_mid > 1.25 * _PROBE_NOMINAL_S
+        or bw_mid < 0.6 * _BW_NOMINAL_GBPS
+    ) and spread > 2.0:
         t_extra, extra_runs = _best_of(1, _run_main)
         extras["pipeline_runs"] += extra_runs
         timings["extract_pipeline"] = min(timings["extract_pipeline"], t_extra)
@@ -266,6 +310,7 @@ def main() -> None:
         release_query_caches()
 
     extras["contention_probe_s"]["post_suite"] = _contention_probe()
+    extras["bandwidth_probe_gbps"]["post_suite"] = _bandwidth_probe()
 
     total = round(sum(timings.values()), 3)
     result = {
