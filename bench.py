@@ -295,6 +295,7 @@ def main() -> None:
         "dsir_importance",
         "line_dedup_corpus",
         "meta_blocking_prune",
+        "ngram_decontaminate",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

@@ -2217,6 +2217,58 @@ GROUP BY n.doc_id
 """
 
 
+# N-gram-overlap decontamination (the GPT-3 appendix-C / PaLM approach:
+# a training doc is contaminated if it shares ANY n-gram with a benchmark
+# document — catches partial inclusions that whole-doc fingerprints and
+# Bloom membership miss).  n=8 word-grams; contamination set = doc_id<10
+# (same convention as decontaminate_docs / bloom_decontaminate, so the
+# three variants are directly comparable).  Scale shape: benchmark grams
+# distinct to a small table (broadcasts; at worst shuffle-joins), corpus
+# grams stream through the join un-materialized, one doc_id shuffle for
+# the per-doc overlap count.  Map-side combine on both aggs.
+_NGRAM_DECON_SPARK = """
+WITH toks AS (
+  SELECT doc_id, split(trim(text), '\\\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT doc_id, explode(transform(sequence(0, size(w) - 8),
+                                   i -> array_join(slice(w, i + 1, 8), ' '))) AS gram
+  FROM toks WHERE size(w) >= 8
+),
+contam AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id < 10
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared_ngrams,
+       CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared_distinct
+FROM grams g JOIN contam c ON g.gram = c.gram
+WHERE g.doc_id >= 10
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+_NGRAM_DECON_DUCK = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i + 1 : i + 8], ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 7)) AS i FROM toks WHERE len(w) >= 8)
+),
+contam AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id < 10
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared_ngrams,
+       CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared_distinct
+FROM grams g JOIN contam c ON g.gram = c.gram
+WHERE g.doc_id >= 10
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 # SparkER-style meta-blocking (Simonini et al., "Schema-agnostic vs
 # schema-based configurations for blocking methods on homogeneous data",
 # VLDB 2019 / SparkER EDBT 2019 demo): treat MinHash LSH buckets as blocks,
@@ -2461,4 +2513,5 @@ QUERIES: dict[str, tuple] = {
     "dsir_importance": (_dsir_importance, None),
     "line_dedup_corpus": (_sql(_LINE_DEDUP_SPARK), None),
     "meta_blocking_prune": (_meta_blocking_prune, None),
+    "ngram_decontaminate": (_sql(_NGRAM_DECON_SPARK), None),
 }

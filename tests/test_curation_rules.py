@@ -281,3 +281,46 @@ def test_dsir_scores_match_pandas_reference(spark):
         # resolution the mean is identical or off by at most 1 ulp-rounded unit
         assert abs(micro - int(ref.loc[doc_id, "micro"])) <= 1, (
             doc_id, micro, int(ref.loc[doc_id, "micro"]))
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_ngram_decontaminate_matches_duckdb_twin(spark, sf_dir):
+    import pandas as pd
+
+    from extractor_spark.spark.queries import (
+        _NGRAM_DECON_DUCK,
+        _NGRAM_DECON_SPARK,
+    )
+
+    _views(spark, sf_dir)
+    sdf = spark.sql(_NGRAM_DECON_SPARK).toPandas()
+    odf = _duck(sf_dir).execute(_NGRAM_DECON_DUCK).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    s = sdf[cols].sort_values("doc_id").reset_index(drop=True)
+    o = odf[cols].sort_values("doc_id").reset_index(drop=True)
+    assert len(s) == len(o)
+    pd.testing.assert_frame_equal(s, o, check_dtype=False)
+
+
+def test_ngram_decontaminate_catches_partial_inclusion(spark):
+    """The point of n-gram (vs whole-doc) decontamination: a training doc
+    QUOTING 8+ consecutive benchmark words is flagged even though its
+    fingerprint differs; a paraphrase sharing no 8-gram is not."""
+    import pandas as pd
+
+    bench = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    docs = [
+        (1, bench),  # contamination set (doc_id < 10)
+        (10, "Intro words then " + bench + " and a different tail."),  # quotes it
+        (11, "alpha bravo charlie delta echo foxtrot golf DIFFERENT india juliett x"),  # breaks every 8-gram
+        (12, "entirely unrelated text with plenty of its own words to spare here"),
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "text"])
+    ).createOrReplaceTempView("documents")
+    from extractor_spark.spark.queries import _NGRAM_DECON_SPARK
+
+    rows = {r["doc_id"]: r.asDict() for r in spark.sql(_NGRAM_DECON_SPARK).collect()}
+    assert 10 in rows and rows[10]["n_shared_distinct"] >= 1
+    assert 11 not in rows and 12 not in rows
