@@ -11,10 +11,15 @@ from dataclasses import dataclass
 # default limit of 1000 rejected pages beyond ~330 levels that the Node
 # reference converts fine.  Pure-Python recursion does not consume C stack
 # on CPython 3.11+ (frames live on the heap), so a high limit is safe; DOM
-# *parsing* is already iterative.  Raised once at import — the converter
-# runs inside Spark Python workers, where this module import is the entry.
-if sys.getrecursionlimit() < 30_000:
-    sys.setrecursionlimit(30_000)
+# *parsing* is already iterative.  Checked per conversion, not only at
+# import: other libraries (pyspark/cloudpickle test infra) reset the
+# process limit after this module loads.
+def _ensure_recursion_headroom() -> None:
+    if sys.getrecursionlimit() < 30_000:
+        sys.setrecursionlimit(30_000)
+
+
+_ensure_recursion_headroom()
 
 from extractor_spark.engine.dom import Element
 from extractor_spark.engine.main_extract import extract_main_html
@@ -51,6 +56,7 @@ def html_to_markdown(
     to the converter instead of round-tripping through serialize→reparse —
     equivalent output (tests/test_fast_path.py corpus check), ~30% faster.
     """
+    _ensure_recursion_headroom()
     opts = options or HtmlExtractionOptions()
     converter = TurndownConverter(
         include_images=opts.include_images,

@@ -817,8 +817,15 @@ def _interpret(
     the form's own /Resources (falling back to the caller's) — per §8.10
     the form inherits the graphics state; text state is re-established by
     the form's own BT/ET, which every real generator emits."""
-    font_dict = doc.resolve(res.get("Font")) or {}
-    xobj_dict = doc.resolve(res.get("XObject")) or {}
+    # a corrupted /Font or /XObject entry can resolve to a non-dict object
+    # (stream bytes, a number); treat anything but a dict as absent — the
+    # mutation-fuzz contract is "malformed input degrades, never raises"
+    font_dict = doc.resolve(res.get("Font"))
+    if not isinstance(font_dict, dict):
+        font_dict = {}
+    xobj_dict = doc.resolve(res.get("XObject"))
+    if not isinstance(xobj_dict, dict):
+        xobj_dict = {}
     fonts: dict[str, FontInfo] = {}
 
     ctm = base_ctm
