@@ -2433,6 +2433,125 @@ def _dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("importance_micro").desc(), "doc_id").limit(200)
 
 
+_FT_DIM = 65536  # 2^16 hash buckets — fastText's default bucket scale
+
+
+def _fasttext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear classifier inference (Joulin et al.
+    2017, "Bag of Tricks for Efficient Text Classification") — the model
+    shape behind CCNet / LLaMA-style quality filtering: per-doc logit =
+    Σ_f W[h(f) mod D] over unigram+bigram features.  The demo model's
+    weights are derived deterministically from the bucket id (integer
+    milli-units in [-1000, 1000]) so the whole inference is exact-integer
+    and order-independent; swapping in trained weights is a one-line
+    change to the `weights` DataFrame.
+
+    Scale shape: the model is D=65536 rows (~1 MB) and BROADCAST — the
+    corpus side never shuffles for the join; feature hashing is JVM
+    ``F.hash`` (Murmur3, whole-stage codegen, no Python); the only
+    corpus-sized shuffle is the per-doc integer sum with map-side partial
+    aggregation.  At 100 TB the weights stay model-sized and everything
+    else is map+one-agg.  Rows-only in the driver (hash bucketing has no
+    DuckDB twin); EXACT-equality gate vs an in-repo pandas reference
+    built on the bit-identical `_murmur3_32` reimplementation, plus
+    broadcast-plan and determinism gates (tests/test_curation_rules.py).
+    """
+    from pyspark.sql import functions as F
+
+    _views(spark, sf_dir)
+    D = _FT_DIM
+    weights = spark.range(D).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            F.pmod(
+                F.hash(F.concat(F.lit("w"), F.col("id").cast("string"))),
+                F.lit(2001),
+            )
+            - 1000
+        )
+        .cast("bigint")
+        .alias("w_milli"),
+    )
+    toks = spark.table("documents").select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "").alias(
+            "w"
+        ),
+    )
+    feats = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.col("w"),
+                F.zip_with(
+                    F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                    F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            )
+        ).alias("feat"),
+    )
+    bucketed = feats.select(
+        "doc_id", F.pmod(F.hash("feat"), F.lit(D)).cast("int").alias("bucket")
+    )
+    return (
+        bucketed.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_features"),
+            F.sum("w_milli").cast("bigint").alias("logit_milli"),
+        )
+        .select(
+            "doc_id",
+            "n_features",
+            "logit_milli",
+            (F.col("logit_milli") > 0).alias("ft_keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Efraimidis–Spirakis weighted sampling without replacement (IPL 2006):
+# key_i = u_i^(1/w_i), keep the k largest keys.  u_i is a deterministic
+# Knuth multiplicative hash of doc_id (arithmetic-only, so the SAME value
+# is computable in Spark SQL and DuckDB — full cross-engine equality gate
+# in tests/test_curation_rules.py).  Weight = n_chars: longer docs are
+# proportionally likelier to be drawn.
+#
+# Scale shape: the key is computed map-side and the ORDER BY+LIMIT lowers
+# to TakeOrderedAndProject — per-partition top-k then a k-row merge on the
+# driver, NO full sort shuffle (plan-gated).  At 100 TB only k rows ever
+# leave the executors.  The es_key itself is excluded from the output
+# (float); the selected (doc_id, weight) set is integer-exact.
+_WEIGHTED_SAMPLE_SPARK = """
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS weight,
+         pow((pmod(doc_id * 2654435761, 4294967296) + 0.5) / 4294967296.0,
+             1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS es_key
+  FROM documents
+)
+SELECT doc_id, weight FROM (
+  SELECT doc_id, weight, es_key FROM keyed
+  ORDER BY es_key DESC, doc_id LIMIT 64
+) ORDER BY doc_id
+"""
+_WEIGHTED_SAMPLE_DUCK = """
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS weight,
+         pow(((((doc_id * 2654435761) % 4294967296) + 4294967296) % 4294967296 + 0.5)
+               / 4294967296.0,
+             1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS es_key
+  FROM documents
+)
+SELECT doc_id, weight FROM (
+  SELECT doc_id, weight, es_key FROM keyed
+  ORDER BY es_key DESC, doc_id LIMIT 64
+) ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     #
@@ -2514,4 +2633,6 @@ QUERIES: dict[str, tuple] = {
     "line_dedup_corpus": (_sql(_LINE_DEDUP_SPARK), None),
     "meta_blocking_prune": (_meta_blocking_prune, None),
     "ngram_decontaminate": (_sql(_NGRAM_DECON_SPARK), None),
+    "fasttext_quality_score": (_fasttext_quality_score, None),
+    "weighted_sample_topk": (_sql(_WEIGHTED_SAMPLE_SPARK), None),
 }

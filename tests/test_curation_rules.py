@@ -324,3 +324,114 @@ def test_ngram_decontaminate_catches_partial_inclusion(spark):
     rows = {r["doc_id"]: r.asDict() for r in spark.sql(_NGRAM_DECON_SPARK).collect()}
     assert 10 in rows and rows[10]["n_shared_distinct"] >= 1
     assert 11 not in rows and 12 not in rows
+
+
+# ---------------------------------------------------------------------------
+# fastText-style hashed linear classifier + Efraimidis–Spirakis sampling
+# ---------------------------------------------------------------------------
+
+def _ft_reference(sf_dir):
+    """Pandas twin of _fasttext_quality_score built on the bit-identical
+    Murmur3 reimplementation — exact-integer, so equality is exact."""
+    import re
+
+    import pandas as pd
+
+    from extractor_spark.spark.queries import _FT_DIM, _murmur3_32
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java default \s (ASCII-only)
+    wcache = {}
+
+    def w_of(bucket):
+        if bucket not in wcache:
+            h = _murmur3_32(("w" + str(bucket)).encode(), 42)
+            wcache[bucket] = h % 2001 - 1000 if h >= 0 else ((h % 2001) + 2001) % 2001 - 1000
+        return wcache[bucket]
+
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = []
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        toks = [t for t in ws.split(text.strip(" ")) if t != ""]
+        feats = toks + [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+        if not feats:
+            continue  # explode drops feature-less docs
+        logit = 0
+        for f in feats:
+            h = _murmur3_32(f.encode("utf-8"), 42)
+            bucket = ((h % _FT_DIM) + _FT_DIM) % _FT_DIM
+            logit += w_of(bucket)
+        rows.append((int(doc_id), len(feats), logit, logit > 0))
+    return sorted(rows)
+
+
+def test_fasttext_matches_murmur_pandas_reference(spark):
+    """EXACT equality vs the pure-Python twin: pins tokenization (Java \\s,
+    space-only trim), Murmur3 seed-42 bucketing, the derived integer
+    weights, and the integer sum — oracle-strength end to end."""
+    from extractor_spark.spark.queries import QUERIES
+
+    fn, _ = QUERIES["fasttext_quality_score"]
+    got = sorted(
+        (r["doc_id"], r["n_features"], r["logit_milli"], r["ft_keep"])
+        for r in fn(spark, SF_DIR).collect()
+    )
+    ref = _ft_reference(SF_DIR)
+    assert len(got) == len(ref) and len(got) > 0
+    assert got == ref
+
+
+def test_fasttext_plan_broadcasts_model(spark):
+    """The D-row weight table must broadcast (corpus side never shuffles
+    for the join) and the per-doc sum must have a map-side partial."""
+    from extractor_spark.spark.queries import QUERIES
+
+    fn, _ = QUERIES["fasttext_quality_score"]
+    plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "partial_count" in plan or "partial" in plan.lower(), plan[:2000]
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_weighted_sample_matches_duckdb_twin(spark, sf_dir):
+    """Efraimidis–Spirakis keys use arithmetic-only determinism (Knuth
+    multiplicative hash), so DuckDB computes the identical sample."""
+    import pandas as pd
+
+    from extractor_spark.spark.queries import (
+        _WEIGHTED_SAMPLE_DUCK,
+        _WEIGHTED_SAMPLE_SPARK,
+    )
+
+    _views(spark, sf_dir)
+    sdf = spark.sql(_WEIGHTED_SAMPLE_SPARK).toPandas()
+    odf = _duck(sf_dir).execute(_WEIGHTED_SAMPLE_DUCK).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    s = sdf[cols].sort_values("doc_id").reset_index(drop=True)
+    o = odf[cols].sort_values("doc_id").reset_index(drop=True)
+    assert len(s) == 64 and len(o) == 64
+    pd.testing.assert_frame_equal(s, o, check_dtype=False)
+
+
+def test_weighted_sample_plan_is_topk_not_full_sort(spark):
+    """ORDER BY + LIMIT must lower to TakeOrderedAndProject: per-partition
+    top-k, only k rows leave the executors — no global sort Exchange."""
+    from extractor_spark.spark.queries import QUERIES
+
+    fn, _ = QUERIES["weighted_sample_topk"]
+    plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """Selection probability must actually track weight: the drawn docs'
+    mean n_chars exceeds the corpus mean (deterministic for this corpus)."""
+    from extractor_spark.spark.queries import QUERIES
+
+    fn, _ = QUERIES["weighted_sample_topk"]
+    rows = fn(spark, SF_DIR).collect()
+    sel_mean = sum(r["weight"] for r in rows) / len(rows)
+    _views(spark, SF_DIR)
+    corpus = spark.table("documents").selectExpr("avg(n_chars) AS m").collect()[0]["m"]
+    assert sel_mean > corpus, (sel_mean, corpus)
