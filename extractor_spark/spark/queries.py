@@ -2511,6 +2511,99 @@ def _fasttext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed two-pass PCA over the embedding column (d=64), the
+    standard dimensionality-reduction step before clustering / ANN / dedup
+    on embedding corpora.  Pass 1: one ``mapInPandas`` sweep emits ONE
+    moment partial per PARTITION — (n, Σx, vec(XᵀX)), i.e. 1+d+d² ≈ 4K
+    doubles regardless of row count; the partials are posexploded and
+    folded by a ``groupBy(pos).sum`` (shuffle O(partitions × d²) — the
+    corpus itself never shuffles).  The d×d covariance is eigendecomposed
+    DRIVER-side (model-sized, like the IVF centroids).  Pass 2 projects
+    every vector onto the top-2 components map-only, components shipped in
+    the task closure.  Component signs are canonicalized (largest-|coord|
+    positive) so output is deterministic.
+
+    Scale shape: at 100 TB the driver only ever sees d² floats; both
+    corpus passes are map-only Arrow batches.  Rows-only in the driver
+    (no SQL eigensolver); gates in tests/test_curation_rules.py: numpy
+    full-dataset reference within ±2 micro, projection-variance ordering,
+    determinism.
+    """
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    _views(spark, sf_dir)
+    d = 64
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        n = 0
+        s = np.zeros(d)
+        m = np.zeros((d, d))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            n += len(x)
+            s += x.sum(axis=0)
+            m += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"vals": [np.concatenate(([float(n)], s, m.ravel())).tolist()]}
+            )
+
+    part_df = (
+        spark.table("embeddings")
+        .select("embedding")
+        .mapInPandas(partials, schema="vals array<double>")
+    )
+    summed = (
+        part_df.select(F.posexplode("vals").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )  # 1+d+d² rows — model-sized by construction
+    flat = np.zeros(1 + d + d * d)
+    for r in summed:
+        flat[r["pos"]] = r["v"]
+    n_total = flat[0]
+    mean = flat[1 : 1 + d] / n_total
+    cov = flat[1 + d :].reshape(d, d) / n_total - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    comps = eigvecs[:, ::-1][:, :2].T.copy()  # rows = top-2 components
+    for i in range(2):
+        if comps[i][np.argmax(np.abs(comps[i]))] < 0:
+            comps[i] = -comps[i]
+
+    def project(batches, mean=mean, comps=comps):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            p = (x - mean) @ comps.T
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "pc1_micro": np.rint(p[:, 0] * 1e6).astype("int64"),
+                    "pc2_micro": np.rint(p[:, 1] * 1e6).astype("int64"),
+                }
+            )
+
+    return (
+        spark.table("embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(project, schema="vec_id bigint, pc1_micro bigint, pc2_micro bigint")
+        .orderBy("vec_id")
+    )
+
+
 # Efraimidis–Spirakis weighted sampling without replacement (IPL 2006):
 # key_i = u_i^(1/w_i), keep the k largest keys.  u_i is a deterministic
 # Knuth multiplicative hash of doc_id (arithmetic-only, so the SAME value
@@ -2635,4 +2728,5 @@ QUERIES: dict[str, tuple] = {
     "ngram_decontaminate": (_sql(_NGRAM_DECON_SPARK), None),
     "fasttext_quality_score": (_fasttext_quality_score, None),
     "weighted_sample_topk": (_sql(_WEIGHTED_SAMPLE_SPARK), None),
+    "pca_project": (_pca_project, None),
 }

@@ -435,3 +435,50 @@ def test_weighted_sample_prefers_heavy_docs(spark):
     _views(spark, SF_DIR)
     corpus = spark.table("documents").selectExpr("avg(n_chars) AS m").collect()[0]["m"]
     assert sel_mean > corpus, (sel_mean, corpus)
+
+
+def test_pca_project_matches_numpy_reference(spark):
+    """Full-dataset numpy PCA (exact covariance, eigh, same sign fix) must
+    agree with the distributed two-pass version within micro rounding."""
+    import numpy as np
+    import pandas as pd
+
+    from extractor_spark.spark.queries import QUERIES
+
+    fn, _ = QUERIES["pca_project"]
+    got = {r["vec_id"]: (r["pc1_micro"], r["pc2_micro"])
+           for r in fn(spark, SF_DIR).collect()}
+
+    df = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    x = np.array([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    mean = x.mean(axis=0)
+    xc = x - mean
+    cov = xc.T @ xc / len(x)
+    _vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, ::-1][:, :2].T.copy()
+    for i in range(2):
+        if comps[i][np.argmax(np.abs(comps[i]))] < 0:
+            comps[i] = -comps[i]
+    proj = xc @ comps.T
+    ref = {int(v): (int(np.rint(proj[j, 0] * 1e6)), int(np.rint(proj[j, 1] * 1e6)))
+           for j, v in enumerate(df["vec_id"])}
+
+    assert set(got) == set(ref) and len(got) == len(df)
+    for vid, (p1, p2) in got.items():
+        r1, r2 = ref[vid]
+        # partial-sum association order differs between the distributed
+        # fold and the single numpy pass — ±2 micro covers it
+        assert abs(p1 - r1) <= 2 and abs(p2 - r2) <= 2, (vid, (p1, p2), (r1, r2))
+
+
+def test_pca_project_variance_ordering_and_determinism(spark):
+    import numpy as np
+
+    from extractor_spark.spark.queries import QUERIES
+
+    fn, _ = QUERIES["pca_project"]
+    rows1 = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    rows2 = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    assert rows1 == rows2, "PCA projection must be deterministic"
+    p = np.array([(r[1], r[2]) for r in rows1], dtype=np.float64)
+    assert p[:, 0].var() >= p[:, 1].var() > 0
