@@ -2645,6 +2645,59 @@ SELECT doc_id, weight FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Web link graph + PageRank (extraction tier's downstream consumer)
+# ---------------------------------------------------------------------------
+
+_WEBGRAPH_N_PAGES = 2000  # deterministic synth corpus (no fixtures, no dups)
+
+
+def _webgraph_pages(spark: SparkSession):
+    from .synth import build_pages_df
+
+    return build_pages_df(
+        spark, _WEBGRAPH_N_PAGES, include_fixtures=False, dup_every=0
+    )
+
+
+def _outlink_hostgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level weighted link graph from streamed anchor extraction
+    (engine tokenizer + Node-parity URL resolution, one Arrow pass — see
+    webgraph.extract_outlinks).  Rows-only: the extraction engine has no
+    SQL twin; gates in tests/test_webgraph.py (independent stdlib-
+    HTMLParser twin, exact edge equality)."""
+    from pyspark.sql import functions as F
+
+    from .webgraph import extract_outlinks, host_graph
+
+    pages = _webgraph_pages(spark)
+    return (
+        host_graph(extract_outlinks(pages))
+        .select("src_host", "dst_host", F.col("n_links").cast("bigint").alias("n_links"))
+        .orderBy("src_host", "dst_host")
+    )
+
+
+def _hostgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (d=0.85) over the synth host graph — one shuffle
+    per power-iteration round, flat lineage, dangling mass redistributed
+    (webgraph.pagerank).  Ranks emitted as nano-fixed-point BIGINTs so the
+    output is atomic + deterministic.  Gates: numpy power-iteration twin
+    within ±2 nano, rank mass ≈ 1, dangling unit graph
+    (tests/test_webgraph.py)."""
+    from pyspark.sql import functions as F
+
+    from .webgraph import extract_outlinks, host_graph, pagerank
+
+    pages = _webgraph_pages(spark)
+    # fixed 20 rounds (the classic batch-PageRank operating point):
+    # deterministic output, bounded driver time; tol as backstop
+    ranks = pagerank(host_graph(extract_outlinks(pages)), max_iter=20, tol=1e-9)
+    return ranks.select(
+        "host", F.rint(F.col("rank") * 1e9).cast("bigint").alias("rank_nano")
+    ).orderBy(F.col("rank_nano").desc(), "host")
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     #
@@ -2729,4 +2782,6 @@ QUERIES: dict[str, tuple] = {
     "fasttext_quality_score": (_fasttext_quality_score, None),
     "weighted_sample_topk": (_sql(_WEIGHTED_SAMPLE_SPARK), None),
     "pca_project": (_pca_project, None),
+    "outlink_hostgraph": (_outlink_hostgraph, None),
+    "hostgraph_pagerank": (_hostgraph_pagerank, None),
 }

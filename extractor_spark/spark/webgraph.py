@@ -1,0 +1,281 @@
+"""Web link-graph construction + PageRank, Spark-first.
+
+The extraction tier's classic downstream consumer: every crawl pipeline
+(reference scope: lightfeed/extractor's per-page extraction,
+/root/reference/src/extractors/index.ts) feeds a link graph — outlink
+extraction per page, host-level aggregation, and a centrality measure
+(PageRank, Brin & Page 1998 — public algorithm) used for crawl
+prioritization and quality weighting of training corpora (e.g. the
+Common Crawl host-rank lists).
+
+Design for 10^12 pages / ~10^8 hosts:
+
+- ``extract_outlinks`` is one Arrow ``mapInPandas`` pass over the pages
+  table (no per-row Python UDF): the engine's HTML tokenizer streams tags
+  (no DOM materialization — anchors only), hrefs resolve against the page
+  url with the Node-parity legacy resolver.  Per-page work is O(bytes);
+  the stage is embarrassingly parallel and repartition-defended from AQE
+  coalescing like every other Python stage in this repo.
+- ``host_graph`` reduces page-level links to (src_host, dst_host,
+  n_links) with one map-side-combined groupBy — the only full shuffle of
+  the build.  At web scale the host graph is ~10^9 edges: small enough to
+  iterate on, which is exactly why PageRank runs on the host graph first.
+- ``pagerank`` is the standard power iteration as DataFrame joins: each
+  round is contributions = ranks ⋈ edges (pre-normalized out-weights,
+  partitioned once on src and persisted) → groupBy(dst).sum — one shuffle
+  per round, state localCheckpoint'ed every round so the plan stays flat
+  (lineage depth O(1), not O(iterations)).  Dangling mass (hosts with no
+  outlinks) is computed with a broadcastable scalar aggregate and
+  redistributed uniformly, so ranks sum to 1 every round.  Weighted
+  transition: a host linking 10× to one neighbor sends 10× the mass
+  (link-multiplicity PageRank; the unweighted variant is n_links=1).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# outlink extraction (engine tokenizer, streaming — no DOM build)
+# ---------------------------------------------------------------------------
+
+
+class _AnchorCollector:
+    """Tokenizer builder that records href attributes of <a> tags only.
+
+    Implements the full builder protocol as no-ops so the tokenizer's
+    CDATA/comment/decl handling stays on its normal paths.
+    """
+
+    __slots__ = ("hrefs",)
+
+    def __init__(self) -> None:
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href" and value:
+                    self.hrefs.append(value)
+                    break
+
+    handle_startendtag = handle_starttag
+
+    def handle_endtag(self, tag: str) -> None:
+        pass
+
+    def handle_data(self, data: str) -> None:
+        pass
+
+    def handle_comment(self, data: str) -> None:
+        pass
+
+    def handle_decl(self, decl: str) -> None:
+        pass
+
+    def handle_pi(self, data: str) -> None:
+        pass
+
+    def unknown_decl(self, data: str) -> None:
+        pass
+
+
+def page_outlinks(url: str, html: str) -> list[str]:
+    """All <a href> targets of one page, resolved absolute (engine parity
+    resolver), http(s) only, de-duplicated preserving first-seen order."""
+    from ..engine.tokenizer import tokenize
+    from ..engine.urlresolve import resolve_url
+
+    collector = _AnchorCollector()
+    try:
+        tokenize(html, collector)
+    except Exception:
+        return []  # poisoned page yields no links, never a task failure
+    out: list[str] = []
+    seen: set[str] = set()
+    for href in collector.hrefs:
+        try:
+            resolved = resolve_url(url, href)
+        except Exception:
+            continue
+        if not resolved.startswith(("http://", "https://")):
+            continue
+        if resolved not in seen:
+            seen.add(resolved)
+            out.append(resolved)
+    return out
+
+
+def _host_of(url: str) -> str | None:
+    rest = url.split("://", 1)[1] if "://" in url else url
+    host = rest.split("/", 1)[0].split("?", 1)[0].split("#", 1)[0]
+    host = host.rsplit("@", 1)[-1].split(":", 1)[0].lower()
+    return host or None
+
+
+def extract_outlinks(pages: DataFrame, partitions: int | None = None) -> DataFrame:
+    """(url, html) pages → one row per (src_url, src_host, dst_url, dst_host).
+
+    One Arrow pass; explicit repartition count defends Python-stage
+    parallelism from AQE coalescing (repo invariant #4).
+    """
+    import pandas as pd
+
+    spark = pages.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            src_urls: list[str] = []
+            src_hosts: list[str] = []
+            dst_urls: list[str] = []
+            dst_hosts: list[str] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                if html is None:
+                    continue
+                if isinstance(html, (bytes, bytearray)):
+                    html = bytes(html).decode("utf-8", "replace")
+                src_host = _host_of(url)
+                if src_host is None:
+                    continue
+                for dst in page_outlinks(url, html):
+                    dst_host = _host_of(dst)
+                    if dst_host is None:
+                        continue
+                    src_urls.append(url)
+                    src_hosts.append(src_host)
+                    dst_urls.append(dst)
+                    dst_hosts.append(dst_host)
+            yield pd.DataFrame(
+                {
+                    "src_url": pd.Series(src_urls, dtype="object"),
+                    "src_host": pd.Series(src_hosts, dtype="object"),
+                    "dst_url": pd.Series(dst_urls, dtype="object"),
+                    "dst_host": pd.Series(dst_hosts, dtype="object"),
+                }
+            )
+
+    return pages.select("url", "html").repartition(n_parts).mapInPandas(
+        run, schema="src_url string, src_host string, dst_url string, dst_host string"
+    )
+
+
+def host_graph(outlinks: DataFrame, drop_self_loops: bool = True) -> DataFrame:
+    """Page-level outlinks → weighted host edges (src_host, dst_host, n_links).
+
+    Single map-side-combined aggregation; self-links dropped by default
+    (standard for PageRank so a host cannot vote for itself)."""
+    edges = outlinks.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+    if drop_self_loops:
+        edges = edges.filter(F.col("src_host") != F.col("dst_host"))
+    return edges
+
+
+# ---------------------------------------------------------------------------
+# PageRank (power iteration, one shuffle per round, flat lineage)
+# ---------------------------------------------------------------------------
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 40,
+    tol: float = 1e-9,
+) -> DataFrame:
+    """Weighted PageRank over (src_host, dst_host, n_links) edges.
+
+    Returns (host, rank) over the union of sources and destinations; ranks
+    sum to 1.  Convergence = L1 delta < ``tol`` (checked with the same
+    action that computes the dangling mass, so each round is exactly one
+    shuffle + one scalar aggregate)."""
+    from . import caches
+
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionAll(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    # Pre-normalize transition weights once: w = n_links / total_out(src).
+    out_totals = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_total"))
+    trans = (
+        edges.join(out_totals, "src_host")
+        .select(
+            F.col("src_host").alias("host"),
+            "dst_host",
+            (F.col("n_links").cast("double") / F.col("out_total")).alias("w"),
+        )
+        .repartition(sc.defaultParallelism, "host")
+    )
+    trans.persist()
+    # Dangling = appears as a destination but never as a source.
+    dangling = nodes.join(
+        edges.select(F.col("src_host").alias("host")).distinct(), "host", "left_anti"
+    ).withColumn("is_dangling", F.lit(True))
+    dangling.persist()
+
+    n = nodes.count()
+    if n == 0:
+        trans.unpersist()
+        dangling.unpersist()
+        return spark.createDataFrame([], "host string, rank double")
+    base = (1.0 - damping) / n
+
+    before = caches.persistent_ids(sc)
+    ranks = nodes.select("host", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    prev_handles = caches.checkpoint_handles_since(sc, before)
+
+    for _ in range(max_iter):
+        contrib = (
+            ranks.join(trans, "host")
+            .select(F.col("dst_host").alias("host"), (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("host")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling_mass = (
+            ranks.join(dangling, "host", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        new_ranks = (
+            ranks.select("host", F.col("rank").alias("old_rank"))
+            .join(contrib, "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling_mass / n))
+                ).alias("rank"),
+                "old_rank",
+            )
+        )
+        before = caches.persistent_ids(sc)
+        new_ranks = new_ranks.localCheckpoint()
+        # eager checkpoint materialized → previous round's blocks have no
+        # dependents; free them so peak rank storage is 2 rounds (same
+        # pattern as graph.min_label_components)
+        cur_handles = caches.checkpoint_handles_since(sc, before)
+        delta = new_ranks.agg(F.sum(F.abs(F.col("rank") - F.col("old_rank")))).first()[0]
+        ranks = new_ranks.select("host", "rank")
+        for h in prev_handles:
+            h.unpersist()
+        prev_handles = cur_handles
+        if delta < tol:
+            break
+
+    trans.unpersist()
+    dangling.unpersist()
+    # the final checkpoint backs the (lazy) result — consumers release it
+    # via queries.release_query_caches() after collecting
+    for h in prev_handles:
+        caches.register(h)
+    return ranks.select("host", "rank")

@@ -1,0 +1,187 @@
+"""Link-graph construction + PageRank gates.
+
+- Outlink extraction (engine tokenizer + legacy resolver, Arrow pass) vs
+  an INDEPENDENT single-threaded twin built on stdlib html.parser: exact
+  edge-set equality on the synth corpus, adversarial pages included.
+- Distributed PageRank vs a numpy power-iteration twin on the same edge
+  list: per-host agreement within ±2e-9, rank mass == 1.
+- Dangling-mass semantics on a hand graph (A→B, B dangles).
+- Registry: both queries present, after every oracled query.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import numpy as np
+import pytest
+
+from extractor_spark.engine.urlresolve import resolve_url
+from extractor_spark.spark.queries import QUERIES, release_query_caches
+from extractor_spark.spark.synth import _synth_row
+from extractor_spark.spark.webgraph import (
+    extract_outlinks,
+    host_graph,
+    page_outlinks,
+    pagerank,
+)
+
+N_PAGES = 400  # covers 25 adversarial pages (every 16th) + 50-host mix
+
+
+class _StdlibAnchors(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.hrefs = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
+                    break
+
+
+def twin_outlinks(url: str, html: str) -> list[str]:
+    """Independent extraction: stdlib tokenizer, same resolver/filter."""
+    p = _StdlibAnchors()
+    p.feed(html)
+    p.close()
+    out, seen = [], set()
+    for href in p.hrefs:
+        try:
+            resolved = resolve_url(url, href)
+        except Exception:
+            continue
+        if not resolved.startswith(("http://", "https://")):
+            continue
+        if resolved not in seen:
+            seen.add(resolved)
+            out.append(resolved)
+    return out
+
+
+def _twin_rows():
+    rows = [_synth_row(i) for i in range(N_PAGES)]
+    return [(r["url"], r["html"].decode("utf-8")) for r in rows]
+
+
+def twin_host_edges():
+    edges: dict = {}
+    for url, html in _twin_rows():
+        src = url.split("://", 1)[1].split("/", 1)[0]
+        for dst_url in twin_outlinks(url, html):
+            dst = (
+                dst_url.split("://", 1)[1]
+                .split("/", 1)[0]
+                .rsplit("@", 1)[-1]
+                .split(":", 1)[0]
+                .lower()
+            )
+            if dst and dst != src:
+                edges[(src, dst)] = edges.get((src, dst), 0) + 1
+    return edges
+
+
+def test_page_outlinks_matches_stdlib_twin():
+    for url, html in _twin_rows():
+        assert page_outlinks(url, html) == twin_outlinks(url, html), url
+
+
+def test_extract_outlinks_distributed_matches_twin(spark):
+    import pandas as pd
+
+    from extractor_spark.spark.synth import PAGES_SCHEMA
+
+    rows = [_synth_row(i) for i in range(N_PAGES)]
+    pages = spark.createDataFrame(pd.DataFrame(rows), schema=PAGES_SCHEMA)
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_graph(extract_outlinks(pages)).collect()
+    }
+    assert got == twin_host_edges()
+
+
+def numpy_pagerank(edges: dict, damping=0.85, iters=200):
+    """Reference power iteration; with the same ``iters`` and start vector
+    it computes bit-near-identical iterates to webgraph.pagerank."""
+    hosts = sorted({h for e in edges for h in e})
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    out_tot = np.zeros(n)
+    for (s, _), w in edges.items():
+        out_tot[idx[s]] += w
+    m = np.zeros((n, n))
+    for (s, d), w in edges.items():
+        m[idx[d], idx[s]] = w / out_tot[idx[s]]
+    dangling = out_tot == 0
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - damping) / n + damping * (m @ r + r[dangling].sum() / n)
+    return {h: r[idx[h]] for h in hosts}
+
+
+def test_pagerank_matches_numpy_twin(spark):
+    import pandas as pd
+
+    edges = twin_host_edges()
+    edf = spark.createDataFrame(
+        pd.DataFrame(
+            [(s, d, w) for (s, d), w in edges.items()],
+            columns=["src_host", "dst_host", "n_links"],
+        )
+    )
+    # same iterate: K rounds both sides, no early exit (tol=0) — agreement
+    # is then pure floating-point noise, not convergence luck
+    got = {
+        r["host"]: r["rank"]
+        for r in pagerank(edf, max_iter=25, tol=0.0).collect()
+    }
+    release_query_caches()
+    want = numpy_pagerank(edges, iters=25)
+    assert set(got) == set(want)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for h in want:
+        assert abs(got[h] - want[h]) < 1e-12, h
+
+
+def test_pagerank_dangling_hand_graph(spark):
+    # A→B; B dangles.  Closed form: r_A = (1-d)/2 + d*(r_A+r_B)/2 ... i.e.
+    # with full redistribution both converge; just pin vs the numpy twin
+    # plus the invariants mass=1 and r_B > r_A (B receives A's vote).
+    edf = spark.createDataFrame(
+        [("a.org", "b.org", 3)], "src_host string, dst_host string, n_links int"
+    )
+    got = {
+        r["host"]: r["rank"] for r in pagerank(edf, max_iter=40, tol=0.0).collect()
+    }
+    release_query_caches()
+    want = numpy_pagerank({("a.org", "b.org"): 3}, iters=40)
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    assert got["b.org"] > got["a.org"]
+    for h in want:
+        assert abs(got[h] - want[h]) < 1e-12
+
+
+def test_registry_entries_rows_only_at_tail(spark):
+    names = list(QUERIES)
+    for q in ("outlink_hostgraph", "hostgraph_pagerank"):
+        assert q in QUERIES
+        assert QUERIES[q][1] is None
+        assert names.index(q) >= 50
+
+
+def test_query_wrappers_run(spark):
+    hg = QUERIES["outlink_hostgraph"][0](spark, "/root/testdata/sf0.001")
+    rows = hg.collect()
+    assert rows and [f.name for f in hg.schema] == ["src_host", "dst_host", "n_links"]
+    pr = QUERIES["hostgraph_pagerank"][0](spark, "/root/testdata/sf0.001")
+    prows = pr.collect()
+    release_query_caches()
+    assert [f.name for f in pr.schema] == ["host", "rank_nano"]
+    # every host in the graph is ranked; mass ≈ 1 in nano units
+    assert abs(sum(r["rank_nano"] for r in prows) - 1_000_000_000) < 200
+    # deterministic across invocations
+    pr2 = QUERIES["hostgraph_pagerank"][0](spark, "/root/testdata/sf0.001")
+    assert [tuple(r) for r in pr2.collect()] == [tuple(r) for r in prows]
+    release_query_caches()
