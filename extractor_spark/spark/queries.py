@@ -2698,6 +2698,21 @@ def _hostgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("rank_nano").desc(), "host")
 
 
+def _anchor_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 off-site anchor terms per target host (what the rest of the
+    web calls each host) — the classic query-independent relevance signal.
+    One Arrow extraction pass → map-side-combined term counts → per-host
+    top-k window (webgraph.anchor_term_index).  Rows-only; gates in
+    tests/test_webgraph.py (stdlib-HTMLParser twin term-count equality,
+    determinism)."""
+    from .webgraph import anchor_term_index, extract_anchor_texts
+
+    pages = _webgraph_pages(spark)
+    return anchor_term_index(extract_anchor_texts(pages)).orderBy(
+        "dst_host", "rk"
+    )
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     #
@@ -2784,4 +2799,5 @@ QUERIES: dict[str, tuple] = {
     "pca_project": (_pca_project, None),
     "outlink_hostgraph": (_outlink_hostgraph, None),
     "hostgraph_pagerank": (_hostgraph_pagerank, None),
+    "anchor_text_terms": (_anchor_text_terms, None),
 }

@@ -45,31 +45,50 @@ from pyspark.sql import functions as F
 
 
 class _AnchorCollector:
-    """Tokenizer builder that records href attributes of <a> tags only.
+    """Tokenizer builder that records (href, anchor_text) of <a> tags only.
 
-    Implements the full builder protocol as no-ops so the tokenizer's
-    CDATA/comment/decl handling stays on its normal paths.
+    Anchor nesting follows the browser rule (a start-tag implicitly closes
+    an open anchor); text between start and close accumulates as the
+    anchor's text.  Implements the full builder protocol as no-ops so the
+    tokenizer's CDATA/comment/decl handling stays on its normal paths.
     """
 
-    __slots__ = ("hrefs",)
+    __slots__ = ("pairs", "_href", "_buf")
 
     def __init__(self) -> None:
-        self.hrefs: list[str] = []
+        self.pairs: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._buf: list[str] = []
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            self.pairs.append((self._href, "".join(self._buf)))
+            self._href = None
+        self._buf.clear()
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag == "a":
+            self._flush()
             for name, value in attrs:
                 if name == "href" and value:
-                    self.hrefs.append(value)
+                    self._href = value
                     break
 
-    handle_startendtag = handle_starttag
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            self._flush()
+            for name, value in attrs:
+                if name == "href" and value:
+                    self.pairs.append((value, ""))
+                    break
 
     def handle_endtag(self, tag: str) -> None:
-        pass
+        if tag == "a":
+            self._flush()
 
     def handle_data(self, data: str) -> None:
-        pass
+        if self._href is not None:
+            self._buf.append(data)
 
     def handle_comment(self, data: str) -> None:
         pass
@@ -84,9 +103,10 @@ class _AnchorCollector:
         pass
 
 
-def page_outlinks(url: str, html: str) -> list[str]:
-    """All <a href> targets of one page, resolved absolute (engine parity
-    resolver), http(s) only, de-duplicated preserving first-seen order."""
+def page_links(url: str, html: str) -> list[tuple[str, str]]:
+    """All (resolved_target, anchor_text) pairs of one page in document
+    order — engine parity resolver, http(s) only, NOT de-duplicated (one
+    pair per anchor occurrence; anchor-text stats need the multiplicity)."""
     from ..engine.tokenizer import tokenize
     from ..engine.urlresolve import resolve_url
 
@@ -95,15 +115,24 @@ def page_outlinks(url: str, html: str) -> list[str]:
         tokenize(html, collector)
     except Exception:
         return []  # poisoned page yields no links, never a task failure
-    out: list[str] = []
-    seen: set[str] = set()
-    for href in collector.hrefs:
+    collector._flush()  # EOF with an unclosed anchor
+    out: list[tuple[str, str]] = []
+    for href, text in collector.pairs:
         try:
             resolved = resolve_url(url, href)
         except Exception:
             continue
-        if not resolved.startswith(("http://", "https://")):
-            continue
+        if resolved.startswith(("http://", "https://")):
+            out.append((resolved, text))
+    return out
+
+
+def page_outlinks(url: str, html: str) -> list[str]:
+    """Distinct <a href> targets of one page, resolved absolute,
+    http(s) only, preserving first-seen order."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for resolved, _ in page_links(url, html):
         if resolved not in seen:
             seen.add(resolved)
             out.append(resolved)
@@ -161,6 +190,83 @@ def extract_outlinks(pages: DataFrame, partitions: int | None = None) -> DataFra
 
     return pages.select("url", "html").repartition(n_parts).mapInPandas(
         run, schema="src_url string, src_host string, dst_url string, dst_host string"
+    )
+
+
+def extract_anchor_texts(pages: DataFrame, partitions: int | None = None) -> DataFrame:
+    """(url, html) pages → one row per anchor occurrence:
+    (src_host, dst_host, anchor_text).  Anchor text is the query-independent
+    relevance signal for the TARGET page (the classic web-search/corpus
+    augmentation: what other sites call this host).  Same single-Arrow-pass
+    shape as ``extract_outlinks``; no dedup — multiplicity is the signal."""
+    import pandas as pd
+
+    spark = pages.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            src_hosts: list[str] = []
+            dst_hosts: list[str] = []
+            texts: list[str] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                if html is None:
+                    continue
+                if isinstance(html, (bytes, bytearray)):
+                    html = bytes(html).decode("utf-8", "replace")
+                src_host = _host_of(url)
+                if src_host is None:
+                    continue
+                for dst, text in page_links(url, html):
+                    dst_host = _host_of(dst)
+                    if dst_host is None:
+                        continue
+                    src_hosts.append(src_host)
+                    dst_hosts.append(dst_host)
+                    texts.append(text)
+            yield pd.DataFrame(
+                {
+                    "src_host": pd.Series(src_hosts, dtype="object"),
+                    "dst_host": pd.Series(dst_hosts, dtype="object"),
+                    "anchor_text": pd.Series(texts, dtype="object"),
+                }
+            )
+
+    return pages.select("url", "html").repartition(n_parts).mapInPandas(
+        run, schema="src_host string, dst_host string, anchor_text string"
+    )
+
+
+def anchor_term_index(anchors: DataFrame, top_k: int = 5) -> DataFrame:
+    """Anchor occurrences → top-``top_k`` terms per TARGET host:
+    (dst_host, term, n_mentions, rk).  Off-site anchors only (on-site nav
+    text like "Home" describes the site to itself, not to the web), terms
+    lowercased \\\\W+ splits, ties broken lexically so output is
+    deterministic.  One map-side-combined count shuffle + one top-k window
+    partitioned by host — no all-rows sort at any scale."""
+    from pyspark.sql import Window
+
+    terms = (
+        anchors.filter(F.col("src_host") != F.col("dst_host"))
+        .select(
+            "dst_host",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("anchor_text"), r"[^a-z0-9]+"),
+                    lambda t: t != "",
+                )
+            ).alias("term"),
+        )
+        .groupBy("dst_host", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_mentions"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n_mentions").desc(), F.col("term")
+    )
+    return (
+        terms.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("dst_host", "term", "n_mentions", F.col("rk").cast("int"))
     )
 
 

@@ -30,31 +30,70 @@ N_PAGES = 400  # covers 25 adversarial pages (every 16th) + 50-host mix
 
 
 class _StdlibAnchors(HTMLParser):
+    """Independent twin: (href, anchor_text) pairs with browser nesting
+    semantics (an <a> start implicitly closes an open anchor)."""
+
     def __init__(self):
         super().__init__(convert_charrefs=True)
-        self.hrefs = []
+        self.pairs = []
+        self._href = None
+        self._buf = []
+
+    def _flush(self):
+        if self._href is not None:
+            self.pairs.append((self._href, "".join(self._buf)))
+            self._href = None
+        self._buf = []
 
     def handle_starttag(self, tag, attrs):
         if tag == "a":
+            self._flush()
             for k, v in attrs:
                 if k == "href" and v:
-                    self.hrefs.append(v)
+                    self._href = v
                     break
 
+    def handle_startendtag(self, tag, attrs):
+        if tag == "a":
+            self._flush()
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.pairs.append((v, ""))
+                    break
 
-def twin_outlinks(url: str, html: str) -> list[str]:
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data):
+        if self._href is not None:
+            self._buf.append(data)
+
+    @property
+    def hrefs(self):
+        return [h for h, _ in self.pairs]
+
+
+def twin_links(url: str, html: str) -> list[tuple[str, str]]:
     """Independent extraction: stdlib tokenizer, same resolver/filter."""
     p = _StdlibAnchors()
     p.feed(html)
     p.close()
-    out, seen = [], set()
-    for href in p.hrefs:
+    p._flush()  # EOF with an unclosed anchor
+    out = []
+    for href, text in p.pairs:
         try:
             resolved = resolve_url(url, href)
         except Exception:
             continue
-        if not resolved.startswith(("http://", "https://")):
-            continue
+        if resolved.startswith(("http://", "https://")):
+            out.append((resolved, text))
+    return out
+
+
+def twin_outlinks(url: str, html: str) -> list[str]:
+    out, seen = [], set()
+    for resolved, _ in twin_links(url, html):
         if resolved not in seen:
             seen.add(resolved)
             out.append(resolved)
@@ -86,6 +125,72 @@ def twin_host_edges():
 def test_page_outlinks_matches_stdlib_twin():
     for url, html in _twin_rows():
         assert page_outlinks(url, html) == twin_outlinks(url, html), url
+
+
+def test_page_links_anchor_text_matches_stdlib_twin():
+    from extractor_spark.spark.webgraph import page_links
+
+    for url, html in _twin_rows():
+        assert page_links(url, html) == twin_links(url, html), url
+
+
+def test_anchor_nesting_and_eof_semantics():
+    from extractor_spark.spark.webgraph import page_links
+
+    u = "https://h.example.org/p"
+    # implicit close on new <a>; explicit close; EOF-unclosed anchor
+    html = '<a href="/x">first<a href="/y">second</a><a href="/z">tail'
+    assert page_links(u, html) == twin_links(u, html)
+    texts = [t for _, t in page_links(u, html)]
+    assert texts == ["first", "second", "tail"]
+    # self-closing anchor contributes an empty-text pair
+    html2 = '<p><a href="/q"/>after</p>'
+    assert page_links(u, html2) == twin_links(u, html2)
+
+
+def twin_anchor_terms(top_k=5):
+    import re
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for url, html in _twin_rows():
+        src = url.split("://", 1)[1].split("/", 1)[0]
+        for dst_url, text in twin_links(url, html):
+            dst = (
+                dst_url.split("://", 1)[1]
+                .split("/", 1)[0]
+                .rsplit("@", 1)[-1]
+                .split(":", 1)[0]
+                .lower()
+            )
+            if not dst or dst == src:
+                continue
+            for term in re.split(r"[^a-z0-9]+", text.lower()):
+                if term:
+                    counts[(dst, term)] += 1
+    rows = []
+    for host in sorted({h for h, _ in counts}):
+        ranked = sorted(
+            ((n, t) for (h, t), n in counts.items() if h == host),
+            key=lambda p: (-p[0], p[1]),
+        )
+        for rk, (n, t) in enumerate(ranked[:top_k], 1):
+            rows.append((host, t, n, rk))
+    return rows
+
+
+def test_anchor_term_index_matches_twin(spark):
+    import pandas as pd
+
+    from extractor_spark.spark.synth import PAGES_SCHEMA
+    from extractor_spark.spark.webgraph import anchor_term_index, extract_anchor_texts
+
+    rows = [_synth_row(i) for i in range(N_PAGES)]
+    pages = spark.createDataFrame(pd.DataFrame(rows), schema=PAGES_SCHEMA)
+    got = sorted(
+        tuple(r) for r in anchor_term_index(extract_anchor_texts(pages)).collect()
+    )
+    assert got == sorted(twin_anchor_terms())
 
 
 def test_extract_outlinks_distributed_matches_twin(spark):
@@ -165,7 +270,7 @@ def test_pagerank_dangling_hand_graph(spark):
 
 def test_registry_entries_rows_only_at_tail(spark):
     names = list(QUERIES)
-    for q in ("outlink_hostgraph", "hostgraph_pagerank"):
+    for q in ("outlink_hostgraph", "hostgraph_pagerank", "anchor_text_terms"):
         assert q in QUERIES
         assert QUERIES[q][1] is None
         assert names.index(q) >= 50
@@ -185,3 +290,12 @@ def test_query_wrappers_run(spark):
     pr2 = QUERIES["hostgraph_pagerank"][0](spark, "/root/testdata/sf0.001")
     assert [tuple(r) for r in pr2.collect()] == [tuple(r) for r in prows]
     release_query_caches()
+    at = QUERIES["anchor_text_terms"][0](spark, "/root/testdata/sf0.001")
+    arows = at.collect()
+    assert arows and [f.name for f in at.schema] == [
+        "dst_host",
+        "term",
+        "n_mentions",
+        "rk",
+    ]
+    assert all(1 <= r["rk"] <= 5 for r in arows)
