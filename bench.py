@@ -323,6 +323,11 @@ def main() -> None:
         "line_dedup_corpus",
         "meta_blocking_prune",
         "ngram_decontaminate",
+        # round-4 continuation: web link graph (2k-page synth extraction,
+        # 20-round power iteration, anchor-term index)
+        "outlink_hostgraph",
+        "hostgraph_pagerank",
+        "anchor_text_terms",
     ]
     from extractor_spark.spark.queries import release_query_caches
 
