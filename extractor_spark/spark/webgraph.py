@@ -297,9 +297,11 @@ def pagerank(
     """Weighted PageRank over (src_host, dst_host, n_links) edges.
 
     Returns (host, rank) over the union of sources and destinations; ranks
-    sum to 1.  Convergence = L1 delta < ``tol`` (checked with the same
-    action that computes the dangling mass, so each round is exactly one
-    shuffle + one scalar aggregate)."""
+    sum to 1.  The rank state carries an ``is_dangling`` flag, so each
+    round is exactly TWO actions: the eager state checkpoint (the one
+    shuffle) and a single combined aggregate computing both the L1
+    convergence delta and the NEXT round's dangling mass — no per-round
+    semi-join or extra contrib materialization."""
     from . import caches
 
     spark = edges.sparkSession
@@ -322,22 +324,33 @@ def pagerank(
         .repartition(sc.defaultParallelism, "host")
     )
     trans.persist()
-    # Dangling = appears as a destination but never as a source.
-    dangling = nodes.join(
-        edges.select(F.col("src_host").alias("host")).distinct(), "host", "left_anti"
-    ).withColumn("is_dangling", F.lit(True))
-    dangling.persist()
 
     n = nodes.count()
     if n == 0:
         trans.unpersist()
-        dangling.unpersist()
         return spark.createDataFrame([], "host string, rank double")
     base = (1.0 - damping) / n
 
+    # Dangling = never appears as a source; flagged once, carried in state.
+    srcs = edges.select(F.col("src_host").alias("host")).distinct().withColumn(
+        "_has_out", F.lit(True)
+    )
     before = caches.persistent_ids(sc)
-    ranks = nodes.select("host", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    ranks = (
+        nodes.join(srcs, "host", "left")
+        .select(
+            "host",
+            F.lit(1.0 / n).alias("rank"),
+            (~F.coalesce(F.col("_has_out"), F.lit(False))).alias("is_dangling"),
+        )
+        .localCheckpoint()
+    )
     prev_handles = caches.checkpoint_handles_since(sc, before)
+    dangling_mass = (
+        ranks.agg(
+            F.coalesce(F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0.0))
+        ).first()[0]
+    )
 
     for _ in range(max_iter):
         contrib = (
@@ -346,13 +359,8 @@ def pagerank(
             .groupBy("host")
             .agg(F.sum("c").alias("contrib"))
         )
-        dangling_mass = (
-            ranks.join(dangling, "host", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
         new_ranks = (
-            ranks.select("host", F.col("rank").alias("old_rank"))
+            ranks.select("host", F.col("rank").alias("old_rank"), "is_dangling")
             .join(contrib, "host", "left")
             .select(
                 "host",
@@ -362,6 +370,7 @@ def pagerank(
                     * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling_mass / n))
                 ).alias("rank"),
                 "old_rank",
+                "is_dangling",
             )
         )
         before = caches.persistent_ids(sc)
@@ -370,8 +379,14 @@ def pagerank(
         # dependents; free them so peak rank storage is 2 rounds (same
         # pattern as graph.min_label_components)
         cur_handles = caches.checkpoint_handles_since(sc, before)
-        delta = new_ranks.agg(F.sum(F.abs(F.col("rank") - F.col("old_rank")))).first()[0]
-        ranks = new_ranks.select("host", "rank")
+        row = new_ranks.agg(
+            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0.0)
+            ).alias("dangling"),
+        ).first()
+        delta, dangling_mass = row["delta"], row["dangling"]
+        ranks = new_ranks.select("host", "rank", "is_dangling")
         for h in prev_handles:
             h.unpersist()
         prev_handles = cur_handles
@@ -379,7 +394,6 @@ def pagerank(
             break
 
     trans.unpersist()
-    dangling.unpersist()
     # the final checkpoint backs the (lazy) result — consumers release it
     # via queries.release_query_caches() after collecting
     for h in prev_handles:
