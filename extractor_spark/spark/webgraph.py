@@ -297,15 +297,23 @@ def pagerank(
     """Weighted PageRank over (src_host, dst_host, n_links) edges.
 
     Returns (host, rank) over the union of sources and destinations; ranks
-    sum to 1.  The rank state carries an ``is_dangling`` flag, so each
-    round is exactly TWO actions: the eager state checkpoint (the one
-    shuffle) and a single combined aggregate computing both the L1
-    convergence delta and the NEXT round's dangling mass — no per-round
-    semi-join or extra contrib materialization."""
+    sum to 1.  The rank state carries an ``is_dangling`` flag and each
+    round is exactly ONE action: a LAZY localCheckpoint on the new state
+    whose materializing job is the combined aggregate computing both the
+    L1 convergence delta and the NEXT round's dangling mass (the aggregate
+    touches every partition, so the checkpoint blocks it persists as a
+    side effect are complete) — no per-round semi-join, no separate
+    checkpoint job, no extra contrib materialization."""
     from . import caches
 
     spark = edges.sparkSession
     sc = spark.sparkContext
+
+    # edges is consumed three times before the loop (node set, dangling
+    # flags, transition weights); without a persist each consumer re-runs
+    # the caller's full upstream plan (for the host graph: the Python
+    # outlink extraction over every page)
+    edges = edges.persist()
 
     nodes = (
         edges.select(F.col("src_host").alias("host"))
@@ -328,6 +336,7 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         trans.unpersist()
+        edges.unpersist()
         return spark.createDataFrame([], "host string, rank double")
     base = (1.0 - damping) / n
 
@@ -343,7 +352,7 @@ def pagerank(
             F.lit(1.0 / n).alias("rank"),
             (~F.coalesce(F.col("_has_out"), F.lit(False))).alias("is_dangling"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_handles = caches.checkpoint_handles_since(sc, before)
     dangling_mass = (
@@ -374,11 +383,12 @@ def pagerank(
             )
         )
         before = caches.persistent_ids(sc)
-        new_ranks = new_ranks.localCheckpoint()
-        # eager checkpoint materialized → previous round's blocks have no
-        # dependents; free them so peak rank storage is 2 rounds (same
-        # pattern as graph.min_label_components)
+        new_ranks = new_ranks.localCheckpoint(eager=False)
         cur_handles = caches.checkpoint_handles_since(sc, before)
+        # the aggregate below is the checkpoint's materializing job; once
+        # it returns, the previous round's blocks have no dependents —
+        # free them so peak rank storage is 2 rounds (same pattern as
+        # graph.min_label_components)
         row = new_ranks.agg(
             F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
             F.coalesce(
@@ -394,6 +404,7 @@ def pagerank(
             break
 
     trans.unpersist()
+    edges.unpersist()
     # the final checkpoint backs the (lazy) result — consumers release it
     # via queries.release_query_caches() after collecting
     for h in prev_handles:
