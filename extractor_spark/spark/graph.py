@@ -41,7 +41,9 @@ def min_label_components(nodes: DataFrame, pairs: DataFrame, key: str) -> DataFr
     edges = edges.repartition(sc.defaultParallelism, "src")
     edges.persist()
     before = caches.persistent_ids(sc)
-    labels = nodes.select(F.col(key), F.col(key).alias("label")).localCheckpoint()
+    labels = nodes.select(F.col(key), F.col(key).alias("label")).localCheckpoint(
+        eager=False
+    )
     prev_handles = caches.checkpoint_handles_since(sc, before)
 
     while True:
@@ -61,16 +63,22 @@ def min_label_components(nodes: DataFrame, pairs: DataFrame, key: str) -> DataFr
                 ),
                 (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
-        ).localCheckpoint()  # truncate lineage each round.  The checkpoint
-        # is eager, so once it materializes the PREVIOUS round's blocks have
-        # no dependents — release them now (DataFrame.unpersist is a no-op
-        # on checkpoints; only the JVM-RDD handle frees the storage), so
-        # peak label storage is 2 rounds, not the whole convergence history.
+        ).localCheckpoint(eager=False)  # truncate lineage each round.  The
+        # checkpoint is LAZY: the changed-count below is its materializing
+        # job (the filter feeds off every partition), so each round is ONE
+        # Spark job, not checkpoint + count.
         cur_handles = caches.checkpoint_handles_since(sc, before)
+        n_changed = new_labels.filter(F.col("_changed")).count()
+        # count done → the checkpoint blocks exist and the PREVIOUS round's
+        # blocks have no dependents — release them now (order matters: the
+        # lazy checkpoint's computation reads the previous blocks, and a
+        # truncated-lineage RDD cannot be recomputed once unpersisted;
+        # DataFrame.unpersist is a no-op on checkpoints, only the JVM-RDD
+        # handle frees the storage), so peak label storage is 2 rounds, not
+        # the whole convergence history.
         for h in prev_handles:
             h.unpersist()
         prev_handles = cur_handles
-        n_changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if n_changed == 0:
             break
@@ -140,18 +148,22 @@ def star_components(nodes: DataFrame, pairs: DataFrame, key: str) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
         .distinct()
         .repartition(sc.defaultParallelism, "src")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_handles = caches.checkpoint_handles_since(sc, before)
     sig = signature(edges)
     while True:
         before = caches.persistent_ids(sc)
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # lazy checkpoint: the signature aggregate is its materializing job,
+        # so each round is one Spark job; the previous round's blocks are
+        # released only AFTER it runs (its computation reads them, and a
+        # truncated-lineage RDD cannot be recomputed once unpersisted)
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur_handles = caches.checkpoint_handles_since(sc, before)
+        new_sig = signature(edges)
         for h in prev_handles:
             h.unpersist()
         prev_handles = cur_handles
-        new_sig = signature(edges)
         if new_sig == sig:
             break
         sig = new_sig
