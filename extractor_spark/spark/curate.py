@@ -130,7 +130,7 @@ def assign_packs(
     parts = (
         base.repartitionByRange(n_parts, order_col)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # the totals collect materializes it
     )
     totals = parts.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
     by_pid = {r["_pid"]: r["t"] for r in totals}
@@ -179,7 +179,9 @@ def curate(
         docs.withColumn("_rk", F.row_number().over(w)).filter("_rk = 1").drop("_rk")
     )
     before = caches.persistent_ids(sc)
-    docs = docs.localCheckpoint()  # reused by pairs + components + filter
+    # lazy: the stage count below is the materializing job (one pass, not
+    # checkpoint + count); reused by pairs + components + filter
+    docs = docs.localCheckpoint(eager=False)
     ckpt_handles += caches.checkpoint_handles_since(sc, before)
     stats["after_exact_dedup"] = docs.count()
 
@@ -215,7 +217,8 @@ def curate(
         .withColumn("_rk", F.row_number().over(wc))
         .filter("_rk = 1")
         .drop("_rk", "cluster_id")
-    ).localCheckpoint()  # consumed by two counts AND the export write
+    ).localCheckpoint(eager=False)  # consumed by two counts AND the export
+    # write; the stage count below is the materializing job
     ckpt_handles += caches.checkpoint_handles_since(sc, before)
     stats["after_neardup_dedup"] = docs.count()
     # labels' checkpoint (registered by min_label_components) has no
@@ -245,8 +248,11 @@ def curate(
         sc_before = caches.persistent_ids(sc)
         # checkpoint the packed result too: both the n_packs count and the
         # export write consume it, and the post-checkpoint window+join
-        # portion of assign_packs would otherwise run twice
-        docs = assign_packs(spark, docs, "url", pack_budget).localCheckpoint()
+        # portion of assign_packs would otherwise run twice (lazy: the
+        # n_packs aggregate below is the materializing job)
+        docs = assign_packs(spark, docs, "url", pack_budget).localCheckpoint(
+            eager=False
+        )
         ckpt_handles += caches.checkpoint_handles_since(sc, sc_before)
         stats["n_packs"] = docs.agg(F.countDistinct("pack_id")).first()[0]
         stats["pack_budget"] = pack_budget
