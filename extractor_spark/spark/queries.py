@@ -1269,18 +1269,34 @@ cand AS (
   FROM base a JOIN {sig_view} b
     ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
    AND a.vec_id < b.vec_id
-)
+),
+{emb_n_cte}
 SELECT c.v1, c.v2
 FROM cand c
-JOIN {view} e1 ON c.v1 = e1.vec_id
-JOIN {view} e2 ON c.v2 = e2.vec_id
-WHERE aggregate(zip_with(e1.embedding, e2.embedding,
-                         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+JOIN emb_n e1 ON c.v1 = e1.vec_id
+JOIN emb_n e2 ON c.v2 = e2.vec_id
+WHERE aggregate(zip_with(e1.u, e2.u, (x, y) -> x * y),
                 0D, (acc, v) -> acc + v)
-      / (sqrt(aggregate(e1.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
-         * sqrt(aggregate(e2.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
       >= {threshold}
 """
+# The verify pre-normalizes each embedding ONCE per scanned row (emb_n in
+# the template below): cosine(v1, v2) = dot(u1, u2) with u = v/|v|, so the
+# per-PAIR work drops from three interpreted higher-order aggregates
+# (dot + both norms — norms recomputed for every pair a vector appears in)
+# to one.  Higher-order functions are not whole-stage-codegen'd, so at
+# |cand| >> |vectors| this is the candidate-verify bottleneck; measured
+# 6.5 -> 2.3 s on the weak regime at sf0.1.  nullif keeps a zero vector a
+# non-match (NULL dot) instead of an ANSI divide-by-zero error.
+_LSH_EMB_N_CTE = """
+emb_n AS (
+  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE) / nullif(nrm, 0D)) AS u
+  FROM (
+    SELECT vec_id, embedding,
+           sqrt(aggregate(embedding, 0D,
+                          (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+    FROM {view}
+  )
+)"""
 
 
 def release_query_caches() -> None:
@@ -1370,7 +1386,10 @@ def hyperplane_lsh_pairs(
     sigs.createOrReplaceTempView(sig_view)
     return spark.sql(
         _LSH_PAIRS_VERIFY_TMPL.format(
-            view=view, sig_view=sig_view, threshold=threshold
+            view=view,
+            sig_view=sig_view,
+            threshold=threshold,
+            emb_n_cte=_LSH_EMB_N_CTE.format(view=view),
         )
     )
 
