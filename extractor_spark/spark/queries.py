@@ -2732,6 +2732,182 @@ def _anchor_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    LREC): train a per-language bigram LM on a held-out split, score every
+    document's log-perplexity under it, and cut each language into the
+    classic head/middle/tail tertiles (head = lowest perplexity).  The LM
+    is stupid backoff (Brants et al. 2007, alpha=0.4) with an add-one
+    smoothed unigram floor, so unseen bigrams AND unseen tokens score
+    finitely.  Train split = docs with even doc_id (deterministic stand-in
+    for CCNet's external Wikipedia LM); all docs are scored.
+
+    Scale shape (the point at 100 TB):
+    - counting: ONE explode of <s>-prefixed bigrams over the train split →
+      map-side-combined counts keyed (lang, prev, cur); context totals are
+      a second small agg OVER THE MODEL TABLE, not the corpus.
+    - scoring: the score-side bigram stream shuffles ONCE to meet the
+      bigram model on (lang, prev, cur); the unigram backoff model is
+      VOCAB-bounded (≈10M entries/lang on a full crawl) so it rides a
+      broadcast join — one full-corpus shuffle total before the per-doc
+      agg, and no vocab ever reaches the driver.
+    - tertiles: per-doc log-ppl is fixed-pointed to millis and histogrammed
+      — the histogram is bounded by the log-ppl RANGE (a few thousand rows
+      per language), so the cumulative-count window that finds exact
+      tertile cutoffs is a small-table operation regardless of corpus size
+      (the per-doc alternative — a rank window per language — would funnel
+      every doc of a language through one reducer).
+    Rows-only: no DuckDB twin (float log-sums across engines); gates in
+    tests/test_ccnet_perplexity.py — exact integer equality of every
+    lp_micro and bucket against an independent pandas LM, determinism,
+    repeated-text-vs-scrambled-text separation, and an engineered
+    unseen-token doc exercising the backoff floor.
+    """
+    _views(spark, sf_dir)
+    return ccnet_perplexity_frame(spark.table("documents"))
+
+
+def ccnet_perplexity_frame(documents: DataFrame) -> DataFrame:
+    """Core of _ccnet_perplexity over an explicit documents frame
+    (doc_id, lang, text) — separated so tests can run it on engineered
+    corpora without touching the registered views."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = documents.select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+        ).alias("w"),
+    ).filter(F.size("w") > 0)
+    # per-doc bigram stream with a BOS context: (prev_i, cur_i) where
+    # prev = <s> ++ w[:-1] — built array-side so no per-doc window shuffle
+    bigrams = docs.select(
+        "doc_id",
+        "lang",
+        (F.pmod(F.col("doc_id"), F.lit(2)) == 0).alias("is_train"),
+        F.explode(
+            F.zip_with(
+                F.concat(
+                    F.array(F.lit("<s>")),
+                    F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                ),
+                F.col("w"),
+                lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "lang", "is_train", "bg.prev", "bg.cur")
+
+    train = bigrams.filter("is_train")
+    bigram_cnt = train.groupBy("lang", "prev", "cur").agg(
+        F.count("*").alias("bg_cnt")
+    )
+    # context totals derived from the model table (tiny vs the corpus)
+    ctx_cnt = bigram_cnt.groupBy("lang", "prev").agg(
+        F.sum("bg_cnt").alias("ctx_cnt")
+    )
+    bigram_model = bigram_cnt.join(ctx_cnt, ["lang", "prev"])
+    # unigram counts: every train token appears exactly once as `cur`
+    token_cnt = train.groupBy("lang", "cur").agg(F.count("*").alias("tok_cnt"))
+    lang_tot = token_cnt.groupBy("lang").agg(
+        F.sum("tok_cnt").alias("lang_total"),
+        F.count("*").alias("vocab"),
+    )
+
+    # unigram backoff model: bounded by VOCAB (≈10M entries per language on
+    # a full crawl — broadcastable), unlike the bigram table which scales
+    # with corpus content and must be met by shuffle
+    uni_model = token_cnt.join(lang_tot, ["lang"]).select(
+        "lang",
+        "cur",
+        (
+            F.log(F.lit(0.4))
+            + F.log(
+                (F.col("tok_cnt") + 1) / (F.col("lang_total") + F.col("vocab") + 1)
+            )
+        ).alias("backoff_logp"),
+    )
+    stream = bigrams.select("doc_id", "lang", "prev", "cur")
+    scored_stream = (
+        stream.join(bigram_model, ["lang", "prev", "cur"], "left")
+        .join(F.broadcast(uni_model), ["lang", "cur"], "left")
+        .join(F.broadcast(lang_tot), ["lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(
+                F.col("bg_cnt").isNotNull(),
+                F.log(F.col("bg_cnt") / F.col("ctx_cnt")),
+            )
+            .otherwise(
+                F.coalesce(
+                    F.col("backoff_logp"),
+                    # token (or whole language) absent from train: add-one
+                    # floor over whatever mass the language has (0 if none)
+                    F.log(F.lit(0.4))
+                    + F.log(
+                        1
+                        / (
+                            F.coalesce(F.col("lang_total"), F.lit(0))
+                            + F.coalesce(F.col("vocab"), F.lit(0))
+                            + 1
+                        )
+                    ),
+                )
+            )
+            .alias("logp"),
+        )
+    )
+    scored = (
+        scored_stream.groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_tokens"), F.sum("logp").alias("lp_sum"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.rint(-F.col("lp_sum") / F.col("n_tokens") * 1e6)
+            .cast("bigint")
+            .alias("lp_micro"),
+        )
+    )
+    # exact per-language tertile cutoffs from a BOUNDED milli-resolution
+    # histogram (integer ops only — reproduced bit-for-bit by the twin)
+    milli = scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "lp_micro",
+        F.floor((F.col("lp_micro") + 500) / 1000).cast("bigint").alias("lp_milli"),
+    )
+    hist = milli.groupBy("lang", "lp_milli").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy("lp_milli").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "lang", "lp_milli", F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("n"),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("lp_milli"))).alias("c1"),
+        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("lp_milli"))).alias(
+            "c2"
+        ),
+    )
+    out = milli.join(F.broadcast(cuts), ["lang"]).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "lp_micro",
+        F.when(F.col("lp_milli") <= F.col("c1"), F.lit("head"))
+        .when(F.col("lp_milli") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return out.orderBy("doc_id")
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     #
@@ -2819,4 +2995,5 @@ QUERIES: dict[str, tuple] = {
     "outlink_hostgraph": (_outlink_hostgraph, None),
     "hostgraph_pagerank": (_hostgraph_pagerank, None),
     "anchor_text_terms": (_anchor_text_terms, None),
+    "ccnet_perplexity": (_ccnet_perplexity, None),
 }
