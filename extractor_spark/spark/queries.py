@@ -2732,6 +2732,32 @@ def _anchor_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots-exclusion verdict for every page of the synth crawl
+    against deterministic per-host robots.txt bodies (wildcards, $ anchors,
+    allow-overrides, agent-specific groups, hosts with no robots at all).
+    One host equi-join + one Arrow decision pass; hosts without robots
+    never enter Python (spark/robots.py).  Rows-only: REP longest-match
+    semantics have no SQL twin; gates in tests/test_robots.py
+    (independent regex-free brute-force twin over every page, RFC §5
+    examples, CPython-robotparser divergence documented)."""
+    from pyspark.sql import functions as F
+
+    from .robots import robots_filter, synth_robots_df
+
+    pages = _webgraph_pages(spark)
+    hosts = [
+        r["host"]
+        for r in pages.select(
+            F.lower(F.parse_url("url", F.lit("HOST"))).alias("host")
+        )
+        .distinct()
+        .collect()
+    ]
+    robots = synth_robots_df(spark, hosts)
+    return robots_filter(pages, robots, agent="extractor-spark").orderBy("url")
+
+
 def _ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM-perplexity bucketing (Wenzek et al. 2020, "CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl Data",
@@ -2996,4 +3022,5 @@ QUERIES: dict[str, tuple] = {
     "hostgraph_pagerank": (_hostgraph_pagerank, None),
     "anchor_text_terms": (_anchor_text_terms, None),
     "ccnet_perplexity": (_ccnet_perplexity, None),
+    "robots_filter": (_robots_filter, None),
 }
