@@ -2732,6 +2732,21 @@ def _anchor_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-table learning over the documents corpus
+    (Sennrich et al. 2016): corpus → distinct-word vocabulary once, then
+    one Spark job per merge round (map-side-combined pair counts, argmax
+    to driver, JVM-side aggregate-fold merge apply, lazy-checkpoint flat
+    lineage — spark/bpe.py).  Rows-only: iterative argmax has no SQL
+    twin; gates in tests/test_bpe_learn.py (exact merge-sequence equality
+    vs an independent dict-based BPE reference, overlap semantics,
+    determinism)."""
+    from .bpe import learn_bpe_df
+
+    _views(spark, sf_dir)
+    return learn_bpe_df(spark.table("documents"), n_merges=24).orderBy("rank")
+
+
 def _robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 robots-exclusion verdict for every page of the synth crawl
     against deterministic per-host robots.txt bodies (wildcards, $ anchors,
@@ -3023,4 +3038,5 @@ QUERIES: dict[str, tuple] = {
     "anchor_text_terms": (_anchor_text_terms, None),
     "ccnet_perplexity": (_ccnet_perplexity, None),
     "robots_filter": (_robots_filter, None),
+    "bpe_learn_merges": (_bpe_learn_merges, None),
 }
