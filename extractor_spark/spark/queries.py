@@ -2732,6 +2732,20 @@ def _anchor_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lr_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression TRAINING over hashed n-gram
+    features (full-batch GD, per-epoch gradient tree-aggregated to a
+    D-sized driver vector — spark/lrtrain.py), then in-model scoring of
+    every doc: the trainable half of the fastText-style quality filter
+    (weak labels: lang == 'en').  Rows-only: iterative float training
+    has no SQL twin; gates in tests/test_lr_train.py (numpy same-iterate
+    twin ±1 milli, strictly-decreasing loss, class separation)."""
+    from .lrtrain import lr_quality_scores_df
+
+    _views(spark, sf_dir)
+    return lr_quality_scores_df(spark.table("documents"))
+
+
 def _bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge-table learning over the documents corpus
     (Sennrich et al. 2016): corpus → distinct-word vocabulary once, then
@@ -3039,4 +3053,5 @@ QUERIES: dict[str, tuple] = {
     "ccnet_perplexity": (_ccnet_perplexity, None),
     "robots_filter": (_robots_filter, None),
     "bpe_learn_merges": (_bpe_learn_merges, None),
+    "lr_quality_scores": (_lr_quality_scores, None),
 }

@@ -1,0 +1,112 @@
+"""Distributed LR-training gates (spark/lrtrain.py).
+
+Twin protocol (same as ccnet/bpe): the FEATURE TABLE is collected from
+Spark's own extraction (isolating the training math from Java-vs-Python
+tokenization), then full-batch GD is re-run in numpy with identical
+epochs/lr/l2 and compared — weights to 1e-6, per-doc probabilities to
+±1 milli (float-sum order is the only permitted divergence).
+"""
+
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+D = 4096
+EPOCHS = 20
+LR = 2.0
+L2 = 1e-5
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from extractor_spark.spark.session import get_spark
+
+    yield get_spark("lr-train-tests", cpus=8)
+
+
+def _collect_features(spark):
+    from extractor_spark.spark.lrtrain import doc_features
+    from extractor_spark.spark.queries import _views
+
+    _views(spark, SF_DIR)
+    rows = doc_features(spark.table("documents"), D).collect()
+    docs = {}
+    for r in rows:
+        docs.setdefault(r["doc_id"], (r["label"], {}))[1][r["bucket"]] = r["x"]
+    return docs
+
+
+def _numpy_twin(docs):
+    ids = sorted(docs)
+    n = len(ids)
+    y = np.array([docs[i][0] for i in ids])
+    X = np.zeros((n, D))
+    for row, i in enumerate(ids):
+        for b, x in docs[i][1].items():
+            X[row, b] = x
+    # x values are already L2-normalized by Spark's doc_features
+    w = np.zeros(D)
+    b0 = 0.0
+    losses = []
+    for _ in range(EPOCHS):
+        m = X @ w + b0
+        p = 1.0 / (1.0 + np.exp(-m))
+        ll = np.log1p(np.exp(-np.abs(m))) + np.maximum(m, 0.0) - y * m
+        losses.append(float(ll.mean()) + 0.5 * L2 * float(w @ w))
+        r = p - y
+        g = X.T @ r
+        w = w * (1.0 - LR * L2) - LR * g / n
+        b0 -= LR * float(r.sum()) / n
+    m = X @ w + b0
+    probs = {i: 1.0 / (1.0 + np.exp(-mm)) for i, mm in zip(ids, m)}
+    return w, b0, losses, probs
+
+
+def test_training_matches_numpy_twin(spark):
+    from extractor_spark.spark.lrtrain import train_quality_lr
+    from extractor_spark.spark.queries import _views
+
+    _views(spark, SF_DIR)
+    w, b, losses, feats = train_quality_lr(
+        spark.table("documents"), D=D, epochs=EPOCHS, lr=LR, l2=L2
+    )
+    feats.unpersist()
+    tw, tb, tlosses, _tprobs = _numpy_twin(_collect_features(spark))
+    assert np.max(np.abs(np.asarray(w) - tw)) < 1e-6
+    assert abs(b - tb) < 1e-6
+    assert np.allclose(losses, tlosses, atol=1e-9)
+    # training must actually learn: strictly decreasing full-batch loss
+    assert all(a > b2 for a, b2 in zip(losses, losses[1:])), losses
+
+
+def test_scores_query_separates_classes_and_matches_twin(spark):
+    from extractor_spark.spark import caches
+    from extractor_spark.spark.queries import QUERIES, release_query_caches
+
+    fn, oracle = QUERIES["lr_quality_scores"]
+    assert oracle is None
+    out = fn(spark, SF_DIR).toPandas()
+    release_query_caches()
+    assert len(out) > 0 and out["doc_id"].is_unique
+
+    _tw, _tb, _tl, tprobs = _numpy_twin(_collect_features(spark))
+    for row in out.itertuples():
+        assert abs(row.prob_milli - round(tprobs[row.doc_id] * 1000)) <= 1, row
+    # the weak-label signal must be learned (directionally)
+    en = out[out["label"] == 1]["prob_milli"].mean()
+    non = out[out["label"] == 0]["prob_milli"].mean()
+    assert en > non + 4, (en, non)  # directional: 1/L full-batch GD moves slowly at demo scale
+    # keep decision consistent with the probability
+    assert ((out["prob_milli"] > 500) == out["keep"]).mean() > 0.99
+
+
+def test_no_corpus_collect_and_broadcast_model(spark):
+    """The per-epoch driver traffic is the D-row gradient — pin the scoring
+    plan: weights broadcast, no corpus-sized exchange on the model side."""
+    from extractor_spark.spark.queries import QUERIES, release_query_caches
+
+    fn, _ = QUERIES["lr_quality_scores"]
+    df = fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    release_query_caches()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
