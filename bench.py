@@ -328,6 +328,11 @@ def main() -> None:
         "outlink_hostgraph",
         "hostgraph_pagerank",
         "anchor_text_terms",
+        # round-4 continuation 3: LM/REP/subword/classifier training ops
+        "ccnet_perplexity",
+        "robots_filter",
+        "bpe_learn_merges",
+        "lr_quality_scores",
     ]
     from extractor_spark.spark.queries import release_query_caches
 
