@@ -2174,6 +2174,47 @@ SELECT doc_id, n_lines,
 FROM k
 """
 
+# FineWeb-style composite filter chain (Penedo et al. 2024, "The FineWeb
+# Datasets": the production recipe chains language ID → Gopher quality →
+# C4 heuristics → repetition filtering).  Composed FROM the already-gated
+# component queries as CTEs, so the DuckDB twin is the same composition of
+# the components' own twins — the chain's parity reduces to the (pinned)
+# component parities plus identical join/threshold logic on both sides.
+# Catalyst collapses the shared `documents` scans; each CTE is consumed
+# exactly once (no re-evaluation multiplier — CLAUDE.md CTE note).
+_FINEWEB_SPARK = None  # assigned below once components exist
+_FINEWEB_DUCK = None
+
+
+def _fineweb_sql(gopher: str, c4: str, rep: str, lang: str) -> str:
+    return f"""
+WITH g AS ({gopher}),
+c AS ({c4}),
+r AS ({rep}),
+l AS ({lang})
+SELECT d.doc_id,
+       COALESCE(g.gopher_pass, FALSE) AS gopher_pass,
+       COALESCE(c.c4_keep, FALSE) AS c4_keep,
+       CAST(COALESCE(r.dup_permille, 1000) AS BIGINT) AS dup_permille,
+       l.predicted_lang,
+       (COALESCE(g.gopher_pass, FALSE)
+        AND COALESCE(c.c4_keep, FALSE)
+        AND COALESCE(r.dup_permille, 1000) <= 300
+        AND l.predicted_lang = 'en') AS fineweb_keep
+FROM documents d
+LEFT JOIN g ON g.doc_id = d.doc_id
+LEFT JOIN c ON c.doc_id = d.doc_id
+LEFT JOIN r ON r.doc_id = d.doc_id
+LEFT JOIN l ON l.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+_FINEWEB_SPARK = _fineweb_sql(
+    _GOPHER_SPARK, _C4_SPARK, _REPETITION_SPARK, _LANG_ID
+)
+_FINEWEB_DUCK = _fineweb_sql(_GOPHER_DUCK, _C4_DUCK, _REPETITION_ORACLE, _LANG_ID)
+
 
 # Corpus-wide exact line dedup (RefinedWeb / Falcon, Penedo et al. 2023
 # §3.3: lines duplicated across the corpus — boilerplate nav, cookie
@@ -3054,4 +3095,5 @@ QUERIES: dict[str, tuple] = {
     "robots_filter": (_robots_filter, None),
     "bpe_learn_merges": (_bpe_learn_merges, None),
     "lr_quality_scores": (_lr_quality_scores, None),
+    "fineweb_filter_chain": (_sql(_FINEWEB_SPARK), None),
 }
