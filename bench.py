@@ -333,6 +333,7 @@ def main() -> None:
         "robots_filter",
         "bpe_learn_merges",
         "lr_quality_scores",
+        "fineweb_filter_chain",
     ]
     from extractor_spark.spark.queries import release_query_caches
 
