@@ -1,0 +1,147 @@
+"""Crawl-frontier construction: sitemap discovery → already-crawled
+anti-join → robots exclusion, Spark-first.
+
+The standing shape of every recrawl planner: per host, the sitemap says
+what exists, the crawl archive says what we have, robots.txt says what
+we may fetch.  At 10^12 documents each piece keeps its scale shape:
+
+- ``parse_sitemaps`` is one Arrow ``mapInPandas`` pass over the
+  (host, xml) sitemap table (engine/sitemap.py per payload — tolerant,
+  per-entry degradation, a non-XML payload yields zero rows).
+- The "already crawled" check is a LEFT ANTI equi-join on url against
+  the pages table — Catalyst's standard shuffle/broadcast decision; in
+  the host-partitioned pipeline both sides are co-partitioned on host so
+  the anti-join is local.
+- Robots exclusion reuses spark/robots.py (host join + per-body-compiled
+  Arrow decision pass).
+
+Gates (tests/test_sitemap_frontier.py): engine parser vs an independent
+xml.etree twin on well-formed docs; frontier composition vs a pure-Python
+set-algebra twin over the same synth inputs; count sanity (frontier ⊆
+sitemap locs, no crawled url survives, every surviving url robots-allowed).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_ENTRY_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("loc", T.StringType()),
+        T.StructField("lastmod", T.StringType()),
+        T.StructField("priority_milli", T.LongType()),
+    ]
+)
+
+
+def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
+    """(host, xml) → exploded (host, kind, loc, lastmod, priority_milli)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..engine.sitemap import parse_sitemap
+
+        for pdf in batches:
+            rows = []
+            for host, xml in zip(pdf["host"], pdf["xml"]):
+                for e in parse_sitemap(xml or ""):
+                    rows.append((host, e.kind, e.loc, e.lastmod, e.priority_milli))
+            yield pd.DataFrame(
+                rows, columns=["host", "kind", "loc", "lastmod", "priority_milli"]
+            )
+
+    return sitemaps.select("host", "xml").mapInPandas(run, schema=_ENTRY_SCHEMA)
+
+
+def build_frontier(
+    sitemaps: DataFrame,
+    crawled_pages: DataFrame,
+    robots: DataFrame,
+    agent: str = "extractor-spark",
+) -> DataFrame:
+    """URLs to fetch next: in a sitemap, not yet crawled, robots-allowed.
+
+    Returns (url, host, lastmod, priority_milli, rule) sorted by
+    (priority desc, url) — the classic fetch-order key."""
+    from .robots import robots_filter
+
+    entries = parse_sitemaps(sitemaps).filter(F.col("kind") == "url")
+    fresh = entries.join(
+        crawled_pages.select(F.col("url").alias("loc")).distinct(),
+        ["loc"],
+        "left_anti",
+    )
+    verdicts = robots_filter(fresh.select(F.col("loc").alias("url")), robots, agent)
+    return (
+        fresh.join(verdicts.filter("allowed"), fresh["loc"] == verdicts["url"])
+        .select(
+            verdicts["url"],
+            verdicts["host"],
+            "lastmod",
+            "priority_milli",
+            "rule",
+        )
+        .orderBy(F.col("priority_milli").desc_nulls_last(), "url")
+    )
+
+
+def synth_sitemaps_df(
+    spark,
+    hosts: list[str],
+    n_per_host: int = 40,
+    known: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Deterministic sitemap bodies per host: clean urlset entries (new
+    ids beyond the crawled range plus, when ``known`` is given, real
+    already-crawled urls so the anti-join has guaranteed work), plus
+    namespace prefixes, CDATA, entities, junk blocks, and one
+    sitemap-index."""
+    known = known or {}
+    rows = []
+    for i, host in enumerate(sorted(hosts)):
+        parts = ['<?xml version="1.0" encoding="UTF-8"?>']
+        if i % 7 == 3:
+            parts.append(
+                "<sitemapindex><sitemap><loc>https://%s/sitemap-2.xml</loc>"
+                "<lastmod>2026-01-0%d</lastmod></sitemap></sitemapindex>" % (host, i % 9 + 1)
+            )
+            rows.append((host, "".join(parts)))
+            continue
+        parts.append(
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+            ' xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        )
+        for u in known.get(host, []):
+            parts.append(f"<url><loc>{u}</loc></url>")
+        for k in range(n_per_host):
+            page_id = 100000 + i * 1000 + k
+            loc = f"https://{host}/article/{page_id}"
+            if k % 11 == 5:
+                loc_xml = f"<![CDATA[{loc}]]>"
+            elif k % 11 == 7:
+                loc_xml = loc.replace("&", "&amp;") + "?a=1&amp;b=2"
+            else:
+                loc_xml = loc
+            tag = "sm:url" if k % 13 == 4 else "url"
+            ltag = "sm:loc" if k % 13 == 4 else "loc"
+            entry = f"<{tag}><{ltag}>{loc_xml}</{ltag}>"
+            if k % 3 == 0:
+                entry += f"<lastmod>2026-0{k % 9 + 1}-15</lastmod>"
+            if k % 4 == 0:
+                entry += f"<priority>0.{k % 10}</priority>"
+            if k % 17 == 9:
+                entry += "<junk>ignored</junk>"
+            entry += f"</{tag}>"
+            parts.append(entry)
+        if i % 5 == 2:
+            parts.append("<url><lastmod>2026-01-01</lastmod></url>")  # no loc
+            parts.append("<url><loc>   </loc></url>")  # blank loc
+        parts.append("</urlset>")
+        rows.append((host, "".join(parts)))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["host", "xml"]))

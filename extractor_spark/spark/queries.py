@@ -2773,6 +2773,38 @@ def _anchor_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier construction over the synth crawl: tolerant sitemap
+    parsing (engine/sitemap.py — sitemaps.org spec, the discovery half of
+    the robots/sitemaps politeness pair) → left-anti join against already-
+    crawled urls → RFC 9309 robots exclusion → fetch-order sort
+    (spark/frontier.py).  Known crawled urls are embedded into the synth
+    sitemaps so the anti-join provably removes rows.  Rows-only; gates in
+    tests/test_sitemap_frontier.py (xml.etree parser twin, set-algebra
+    frontier twin, tolerance cases)."""
+    from pyspark.sql import functions as F
+
+    from .frontier import build_frontier, synth_sitemaps_df
+    from .robots import synth_robots_df
+
+    pages = _webgraph_pages(spark)
+    hp = [
+        (r["host"], r["url"])
+        for r in pages.select(
+            F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"), "url"
+        ).collect()
+    ]
+    hosts = sorted({h for h, _ in hp})
+    known: dict = {}
+    for h, u in sorted(hp):
+        known.setdefault(h, [])
+        if len(known[h]) < 8:
+            known[h].append(u)
+    sitemaps = synth_sitemaps_df(spark, hosts, known=known)
+    robots = synth_robots_df(spark, hosts)
+    return build_frontier(sitemaps, pages, robots, agent="extractor-spark")
+
+
 def _lr_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic-regression TRAINING over hashed n-gram
     features (full-batch GD, per-epoch gradient tree-aggregated to a
@@ -3096,4 +3128,5 @@ QUERIES: dict[str, tuple] = {
     "bpe_learn_merges": (_bpe_learn_merges, None),
     "lr_quality_scores": (_lr_quality_scores, None),
     "fineweb_filter_chain": (_sql(_FINEWEB_SPARK), None),
+    "sitemap_frontier": (_sitemap_frontier, None),
 }
