@@ -334,6 +334,7 @@ def main() -> None:
         "bpe_learn_merges",
         "lr_quality_scores",
         "fineweb_filter_chain",
+        "sitemap_frontier",
     ]
     from extractor_spark.spark.queries import release_query_caches
 
