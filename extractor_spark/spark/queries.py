@@ -2180,8 +2180,13 @@ FROM k
 # component queries as CTEs, so the DuckDB twin is the same composition of
 # the components' own twins — the chain's parity reduces to the (pinned)
 # component parities plus identical join/threshold logic on both sides.
-# Catalyst collapses the shared `documents` scans; each CTE is consumed
-# exactly once (no re-evaluation multiplier — CLAUDE.md CTE note).
+# Each CTE is consumed exactly once (no re-evaluation multiplier —
+# CLAUDE.md CTE note).  Plan audited: Catalyst does NOT merge the
+# components' `documents` scans (5 parquet scans, one per component +
+# base, via executedPlan) — the right trade at this shape: each scan
+# prunes to its own columns and the components run embarrassingly
+# parallel; a 100 TB deployment would persist the cleaned text once
+# upstream and point every component at that staged table instead.
 _FINEWEB_SPARK = None  # assigned below once components exist
 _FINEWEB_DUCK = None
 
