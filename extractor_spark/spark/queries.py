@@ -2843,8 +2843,10 @@ def _robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 robots-exclusion verdict for every page of the synth crawl
     against deterministic per-host robots.txt bodies (wildcards, $ anchors,
     allow-overrides, agent-specific groups, hosts with no robots at all).
-    One host equi-join + one Arrow decision pass; hosts without robots
-    never enter Python (spark/robots.py).  Rows-only: REP longest-match
+    ONE host equi-join + ONE Arrow decision pass (robots-less hosts take
+    the constant vectorized default-allow path inside it — the JVM
+    filter/union alternative recomputes the join per branch;
+    spark/robots.py).  Rows-only: REP longest-match
     semantics have no SQL twin; gates in tests/test_robots.py
     (independent regex-free brute-force twin over every page, RFC §5
     examples, CPython-robotparser divergence documented)."""

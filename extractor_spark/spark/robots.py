@@ -15,13 +15,16 @@ Shape for 10^12 pages / ~10^8 hosts:
   per (host, batch) via an LRU kept across batches of the same task
   (engine.robots.RobotsMatcher), then each compiled rule regex is applied
   to the host's whole path Series — per-rule vectorized matching, not
-  per-row parsing.  Pages on hosts with no robots.txt pass through
-  allowed (RFC §2.3.1: unavailable ⇒ allowed) without entering Python.
+  per-row parsing.  Pages on hosts with no robots.txt take a constant
+  vectorized default-allow path (RFC §2.3.1: unavailable ⇒ allowed) —
+  kept INSIDE the single Arrow pass because the JVM-side filter/union
+  alternative recomputes the host join once per union branch
+  (plan-audited), and the join is the expensive half at crawl scale.
 
 Gates (tests/test_robots.py): an independently-coded brute-force REP
 twin (recursive wildcard matcher, no regex) must agree on every decision
 over the synth crawl + adversarial bodies; RFC 9309 §5 example table;
-determinism; and a plan gate pinning the no-robots fast path.
+determinism; and a plan gate pinning the single-join single-pass shape.
 """
 
 from __future__ import annotations
@@ -63,13 +66,12 @@ def robots_filter(
             ),
         ).alias("path"),
     )
+    # ONE left join, ONE Arrow pass.  (A filter/union split that keeps
+    # robots-less hosts JVM-side recomputes the join once per union branch
+    # — plan-audited; the join is the expensive half at crawl scale, so
+    # null-body rows instead ride the batch and take a constant vectorized
+    # default-allow path with zero parsing/matching work.)
     joined = urls.join(robots.select("host", "body"), ["host"], "left")
-
-    with_robots = joined.filter(F.col("body").isNotNull())
-    # hosts without a robots.txt never enter Python: allowed by definition
-    without = joined.filter(F.col("body").isNull()).select(
-        "url", "host", F.lit(True).alias("allowed"), F.lit("").alias("rule")
-    )
 
     def decide(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..engine.robots import RobotsMatcher
@@ -77,7 +79,20 @@ def robots_filter(
         cache: dict[str, RobotsMatcher] = {}
         for pdf in batches:
             outs = []
-            for body, grp in pdf.groupby("body", sort=False):
+            # robots-less hosts: RFC §2.3.1 unavailable => allowed
+            missing = pdf[pdf["body"].isna()]
+            if len(missing):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "url": missing["url"],
+                            "host": missing["host"],
+                            "allowed": True,
+                            "rule": "",
+                        }
+                    )
+                )
+            for body, grp in pdf[pdf["body"].notna()].groupby("body", sort=False):
                 matcher = cache.get(body)
                 if matcher is None:
                     if len(cache) > 4096:  # bound task memory on huge batches
@@ -105,8 +120,7 @@ def robots_filter(
                 columns=["url", "host", "allowed", "rule"]
             )
 
-    decided = with_robots.mapInPandas(decide, schema=_OUT_SCHEMA)
-    return decided.unionByName(without)
+    return joined.mapInPandas(decide, schema=_OUT_SCHEMA)
 
 
 def synth_robots_df(spark, hosts: list[str]) -> DataFrame:

@@ -211,15 +211,12 @@ def test_spark_stage_deterministic_and_no_robots_fast_path(spark):
     a = sorted(tuple(r) for r in fn(spark, SF_DIR).collect())
     b = sorted(tuple(r) for r in fn(spark, SF_DIR).collect())
     assert a == b
-    # pages on robots-less hosts must be decided JVM-side: exactly ONE
-    # Python evaluator in the plan (the with-robots branch), and a union
-    # carrying the JVM-side default-allow branch
+    # single-pass shape: exactly ONE decision stage, ONE host join, and
+    # no union that would recompute the join per branch
     df = fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # (the synth page GENERATOR is itself a MapInPandas and appears once
-    # per union branch — count only the robots decision stage)
     assert plan.count("MapInPandas decide") == 1, plan
-    assert "Union" in plan, plan
+    assert "Union" not in plan, plan
     # agent-specific group actually wins over '*' (variant-1 hosts allow
     # extractor-spark on *2$ pages while denying generic agents everything)
     pdf = pd.DataFrame(a, columns=["url", "host", "allowed", "rule"])
