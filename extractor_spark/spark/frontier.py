@@ -69,14 +69,21 @@ def build_frontier(
 
     Returns (url, host, lastmod, priority_milli, rule) sorted by
     (priority desc, url) — the classic fetch-order key."""
+    from . import caches
     from .robots import robots_filter
 
     entries = parse_sitemaps(sitemaps).filter(F.col("kind") == "url")
+    # fresh feeds BOTH the robots verdicts and the final attribute join —
+    # persist it (entry-sized: sitemap rows, not the crawl) or the Arrow
+    # parse pass and the anti-join run once per consumer (plan-audited:
+    # 2x "MapInPandas run" without the persist).  Registered for
+    # release_query_caches like every other cache-producing lazy result.
     fresh = entries.join(
         crawled_pages.select(F.col("url").alias("loc")).distinct(),
         ["loc"],
         "left_anti",
-    )
+    ).persist()
+    caches.register(fresh)
     verdicts = robots_filter(fresh.select(F.col("loc").alias("url")), robots, agent)
     return (
         fresh.join(verdicts.filter("allowed"), fresh["loc"] == verdicts["url"])
