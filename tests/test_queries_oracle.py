@@ -39,7 +39,12 @@ def _rowset(rows):
     return sorted((tuple(_normalize(v) for v in row) for row in rows), key=repr)
 
 
-ORACLES = entrymod.oracle_sql()
+from extractor_spark.spark.queries import TWIN_SQL
+
+# Retired-from-driver-window entries (TWIN_SQL) get exactly the same
+# rows+columns+values gate as the driver-oracled ones — retirement to
+# rows-only (round-5 rotation) loses no in-repo verification strength.
+ORACLES = {**entrymod.oracle_sql(), **TWIN_SQL}
 ALL_QUERIES = entrymod.queries()
 
 
