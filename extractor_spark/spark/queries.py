@@ -2812,12 +2812,14 @@ def _sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lr_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic-regression TRAINING over hashed n-gram
-    features (full-batch GD, per-epoch gradient tree-aggregated to a
-    D-sized driver vector — spark/lrtrain.py), then in-model scoring of
-    every doc: the trainable half of the fastText-style quality filter
-    (weak labels: lang == 'en').  Rows-only: iterative float training
-    has no SQL twin; gates in tests/test_lr_train.py (numpy same-iterate
-    twin ±1 milli, strictly-decreasing loss, class separation)."""
+    features (full-batch GD on a bounded seeded sample — ≤10k docs by
+    default, the fastText/CCNet "fit on a sample" shape — per-epoch
+    gradient tree-aggregated to a D-sized driver vector, spark/lrtrain.py),
+    then ONE broadcast-model scoring pass over the full corpus: the
+    trainable half of the fastText-style quality filter (weak labels:
+    lang == 'en').  Rows-only: iterative float training has no SQL twin;
+    gates in tests/test_lr_train.py (numpy same-iterate twin ±1 milli,
+    strictly-decreasing loss, class separation, sample cap/determinism)."""
     from .lrtrain import lr_quality_scores_df
 
     _views(spark, sf_dir)
