@@ -920,18 +920,35 @@ FROM documents
 """
 
 # Exact n-gram (3-shingle) Jaccard near-duplicate pairs — the oracle-checked
-# ground truth that the MinHash-LSH scale path approximates.
+# ground truth that the MinHash-LSH scale path approximates.  Shingles with
+# document frequency > 128 are excluded as features (standard stop-shingle
+# cap): an uncapped hot shingle ("click here to" in k docs) contributes
+# O(k²) rows to the pair self-join — the unbounded-skew straggler at 100×.
+# The cap is a window over the already-distinct (doc, shingle) rows (no
+# extra evaluation of the explode), applies identically in both dialects,
+# and is far above the max observed DF at the driver SFs (9 at sf0.001,
+# 7 at sf0.01 — pinned in tests/test_queries_oracle.py), so driver results
+# are byte-identical to the uncapped form.  The PRODUCTION dedup path is
+# the banded MinHash star-per-bucket funnel (curate.py), which never forms
+# per-shingle pairs at all.
 _JACCARD_SPARK = """
 WITH toks AS (
   SELECT doc_id, split(trim(text), '\\\\s+') AS w FROM documents
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, sh.shingle
   FROM toks
   LATERAL VIEW explode(
     transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
   ) sh AS shingle
   WHERE size(w) >= 3
+),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle,
+           count(*) OVER (PARTITION BY shingle) AS df
+    FROM sh0
+  ) WHERE df <= 128
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
@@ -952,8 +969,15 @@ WITH toks AS (
 idx AS (
   SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks WHERE len(w) >= 3
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle,
+           count(*) OVER (PARTITION BY shingle) AS df
+    FROM sh0
+  ) WHERE df <= 128
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (

@@ -600,6 +600,39 @@ def test_temperature_mixture_flattens_source_distribution(spark):
             assert mix_share > corpus_share, (s, mix_share, corpus_share)
 
 
+def test_jaccard_df_cap_excludes_hot_shingles(spark):
+    """The exact-Jaccard pair join caps shingle document frequency at 128
+    (stop-shingle skew guard).  Pins: (a) the cap is above the max DF on
+    the driver tables, so the capped query is byte-identical to the
+    uncapped semantics there; (b) on a crafted corpus where a hot shingle
+    exceeds the cap, pairs supported ONLY by that shingle disappear."""
+    import pandas as pd
+
+    from extractor_spark.spark.queries import _JACCARD_SPARK
+
+    con = _duck()
+    max_df = con.execute("""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks WHERE len(w) >= 3),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx)
+SELECT max(df) FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+""").fetchone()[0]
+    assert max_df <= 128, f"driver-table max shingle DF {max_df} crossed the cap"
+
+    # "click here to" appears in 130 docs (DF 130 > 128).  Docs 150/151 are
+    # exactly that 3-word phrase — their ONLY shingle is the hot one, so
+    # uncapped they are Jaccard-1.0 duplicates; capped, the pair must
+    # disappear.  Docs 200/201 are true near-dups over cold shingles and
+    # must survive the cap.
+    rows = [(i, f"click here to unique{i}a unique{i}b unique{i}c") for i in range(128)]
+    rows += [(150, "click here to"), (151, "click here to")]
+    rows += [(200, "alpha beta gamma delta epsilon"), (201, "alpha beta gamma delta epsilon")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    got = {(r["d1"], r["d2"]) for r in spark.sql(_JACCARD_SPARK).collect()}
+    assert got == {(200, 201)}, got
+
+
 def test_bench_query_list_is_registered():
     """bench.py's query list must reference only registered queries — a
     typo there would otherwise only surface as a KeyError mid-bench on
