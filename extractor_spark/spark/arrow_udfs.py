@@ -36,4 +36,30 @@ def bloom_probe_udf(bc):
     return might_contain
 
 
-__all__ = ["bloom_probe_udf", "np", "pd"]
+def mean_vec_udf():
+    """Grouped-agg pandas UDF: Series-of-arrays → element-wise mean array.
+    Type-hinted form (Series → scalar annotation ⇒ GROUPED_AGG) replacing
+    the deprecated PandasUDFType.GROUPED_AGG constant (SPARK-28264)."""
+
+    @pandas_udf("array<double>")
+    def mean_vec(embs: pd.Series) -> list:
+        return np.mean(np.stack(embs.to_numpy()), axis=0).tolist()
+
+    return mean_vec
+
+
+def canonical_url_udf():
+    """Scalar pandas UDF: url Series → canonical-url Series (Arrow batches;
+    the per-url work is a pure string function).  Type-hinted form
+    replacing the deprecated PandasUDFType.SCALAR constant."""
+
+    @pandas_udf("string")
+    def _canon(urls: pd.Series) -> pd.Series:
+        from extractor_spark.engine.urlnorm import canonical_url
+
+        return urls.map(canonical_url)
+
+    return _canon
+
+
+__all__ = ["bloom_probe_udf", "mean_vec_udf", "canonical_url_udf", "np", "pd"]

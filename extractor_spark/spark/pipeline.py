@@ -104,17 +104,9 @@ def dedup_latest_per_url(pages: DataFrame) -> DataFrame:
 def with_canonical_urls(pages: DataFrame) -> DataFrame:
     """Rewrite ``url`` to its canonical spelling (Arrow-vectorized batches;
     the per-url work is a pure string function)."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from .arrow_udfs import canonical_url_udf
 
-    # explicit SCALAR form: hint inference can't resolve pd.Series under
-    # `from __future__ import annotations` without a module-level pandas
-    @pandas_udf("string", PandasUDFType.SCALAR)
-    def _canon(urls):
-        from extractor_spark.engine.urlnorm import canonical_url
-
-        return urls.map(canonical_url)
-
-    return pages.withColumn("url", _canon("url"))
+    return pages.withColumn("url", canonical_url_udf()("url"))
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:

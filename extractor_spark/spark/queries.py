@@ -1831,18 +1831,15 @@ FROM dims GROUP BY lang, i
 
 
 def _mean_embedding_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from .arrow_udfs import mean_vec_udf
 
     _views(spark, sf_dir)
 
-    # explicit GROUPED_AGG (hint inference can't express Series -> array)
-    @pandas_udf("array<double>", PandasUDFType.GROUPED_AGG)
-    def mean_vec(embs):
-        return np.mean(np.stack(embs.to_numpy()), axis=0).tolist()
+    # type-hinted GROUPED_AGG lives in arrow_udfs (no future-annotations
+    # module — hint inference needs real annotation objects)
+    mean_vec = mean_vec_udf()
 
     joined = spark.sql(
         "SELECT d.lang, CAST(e.embedding AS array<double>) AS emb "
