@@ -240,16 +240,26 @@ def main() -> None:
     )
     extras["schema_validation_failures"] = summary2["schema_validation_failures"]
     if summary2["schema_validation_failures"]:
-        # self-document the failures (expected: the 4 unit-literal
-        # micro-pages lacking the blog schema's required fields; pinned by
-        # tests/test_spark_pipeline.py::test_pipeline_with_extraction)
+        # split expected vs unexpected so the JSON reads clean: the
+        # https://fixtures.test/unit/* micro-pages are unit-test literals
+        # with no extractable blog schema — a deliberate long-standing
+        # artifact (pinned by
+        # tests/test_spark_pipeline.py::test_pipeline_with_extraction).
+        # unexpected_schema_failures == 0 is the "nothing regressed" signal.
         out_structured = spark.read.parquet(os.path.join(workdir, "out_structured"))
-        extras["schema_failure_urls"] = sorted(
+        fail_urls = sorted(
             r["url"]
             for r in out_structured.filter("extract_error IS NOT NULL")
             .select("url")
             .collect()
         )
+        expected = [u for u in fail_urls if u.startswith("https://fixtures.test/unit/")]
+        extras["expected_schema_failures"] = len(expected)
+        extras["unexpected_schema_failures"] = len(fail_urls) - len(expected)
+        extras["schema_failure_urls"] = fail_urls
+    else:
+        extras["expected_schema_failures"] = 0
+        extras["unexpected_schema_failures"] = 0
 
     # curation funnel at bench scale, fed by the extract pipeline's own
     # output (exact dedup -> MinHash clusters -> quality filter -> JSONL).
@@ -348,6 +358,49 @@ def main() -> None:
         # release persisted intermediates (LSH sigs, CC checkpoints) so no
         # query's cache pins memory while the next one is timed
         release_query_caches()
+
+    # planted-contamination leg (VERDICT r4 #6): the driver tables share no
+    # 8-gram between the doc_id<10 "benchmark" set and the rest, so
+    # ngram_decontaminate's join path produced 0 rows in every r4 bench.
+    # Build an augmented sf dir whose documents table appends, per
+    # benchmark doc, one synthetic corpus doc embedding that doc's first
+    # 8-gram — the expensive gram-join path then provably runs and emits
+    # rows.  The oracled query itself is untouched.
+    from pyspark.sql import functions as F
+
+    from extractor_spark.spark.queries import TABLES
+
+    aug_dir = os.path.join(workdir, "sf_planted")
+    os.makedirs(aug_dir, exist_ok=True)
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(
+                os.path.join(sf_dir, f"{t}.parquet"),
+                os.path.join(aug_dir, f"{t}.parquet"),
+            )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    planted = (
+        docs.filter("doc_id < 10")
+        .withColumn("doc_id", F.col("doc_id") + F.lit(int(max_id) + 1))
+        .withColumn(
+            "text",
+            F.concat(
+                F.lit("plantedprefix tokena tokenb "),
+                F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 8)),
+                F.lit(" plantedsuffix tokenc"),
+            ),
+        )
+    )
+    docs.unionByName(planted).coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(aug_dir, "documents.parquet")
+    )
+    fn, _oracle = QUERIES["ngram_decontaminate"]
+    t0 = time.time()
+    n = fn(spark, aug_dir).count()
+    timings["ngram_decontaminate_planted"] = round(time.time() - t0, 3)
+    extras["query_rows"]["ngram_decontaminate_planted"] = n
+    release_query_caches()
 
     extras["contention_probe_s"]["post_suite"] = _contention_probe()
     extras["bandwidth_probe_gbps"]["post_suite"] = _bandwidth_probe()
