@@ -24,8 +24,12 @@ Semantics implemented (RFC 9309, June 2022 — public spec):
   starts at the beginning of the path (path includes the query string,
   per the common Googlebot interpretation).  Empty rule values are
   ignored.
-- Precedence (§2.2.2): the most specific match wins — most octets in the
-  pattern; on a tie between allow and disallow, allow wins.  No match at
+- Precedence (§2.2.2): the most specific match wins — most OCTETS in the
+  pattern (UTF-8 byte count, not code points), with a trailing ``$``
+  anchor not counted toward specificity; on a specificity tie between
+  allow and disallow, allow wins; on a specificity tie between rules with
+  the same verdict, the FIRST-declared rule is reported as the winner
+  (deterministic attribution, mirrored by the test twin).  No match at
   all ⇒ allowed.
 
 Deliberate simplifications (documented, shared with the test twin):
@@ -88,6 +92,15 @@ def _compile_pattern(pattern: str) -> re.Pattern:
     return re.compile(rx + (r"\Z" if anchored else ""))
 
 
+def _specificity(pattern: str) -> int:
+    """RFC 9309 §2.2.2 ranks by most octets: UTF-8 byte length of the
+    pattern, excluding the trailing ``$`` anchor (which matches zero
+    octets and would otherwise inflate an anchored rule over an equal
+    unanchored one)."""
+    body = pattern[:-1] if pattern.endswith("$") else pattern
+    return len(body.encode("utf-8"))
+
+
 class RobotsMatcher:
     """Rules for one (robots.txt body, crawler product token) pair,
     compiled once and reused across every URL of the host."""
@@ -99,14 +112,19 @@ class RobotsMatcher:
         groups = parse_robots(body)
         exact = [g for g in groups if agent in g[0]]
         chosen = exact if exact else [g for g in groups if "*" in g[0]]
-        rules: list[tuple[int, bool, str, re.Pattern]] = []
+        indexed: list[tuple[int, bool, int, str, re.Pattern]] = []
         for _uas, rs in chosen:
-            for r in rs:
-                rules.append((len(r.pattern), r.allow, r.pattern, _compile_pattern(r.pattern)))
+            for idx, r in enumerate(rs, start=len(indexed)):
+                indexed.append(
+                    (_specificity(r.pattern), r.allow, idx, r.pattern, _compile_pattern(r.pattern))
+                )
         # ascending precedence: later entries override earlier ones when
-        # both match — longest pattern wins, allow breaks ties (RFC §2.2.2)
-        rules.sort(key=lambda t: (t[0], t[1]))
-        self.rules = rules
+        # both match — most octets wins, allow breaks verdict ties, and
+        # -idx puts the FIRST-declared rule last among full ties so the
+        # overwrite scan reports it (deterministic attribution; the twin's
+        # strict-> first-match scan agrees)
+        indexed.sort(key=lambda t: (t[0], t[1], -t[2]))
+        self.rules = [(spec, allow, pattern, rx) for spec, allow, _idx, pattern, rx in indexed]
 
     def decide(self, path: str) -> tuple[bool, str]:
         """(allowed, winning pattern) for a path (+query); '' = default."""

@@ -69,10 +69,29 @@ def build_frontier(
 
     Returns (url, host, lastmod, priority_milli, rule) sorted by
     (priority desc, url) — the classic fetch-order key."""
+    from pyspark.sql import Window
+
     from . import caches
     from .robots import robots_filter
 
     entries = parse_sitemaps(sitemaps).filter(F.col("kind") == "url")
+    # A loc may legally appear many times — repeated entries in one
+    # sitemap, or the same URL cross-submitted in several hosts' sitemaps
+    # (ADVICE r4, medium).  Without dedup the verdicts join below fans out
+    # n×n (duplicate frontier rows → duplicate fetches).  Keep one
+    # best-attributed row per loc: highest priority, freshest lastmod,
+    # lowest host as the deterministic tiebreak.  One shuffle on loc —
+    # the same key the anti-join and verdict join use.
+    dedup_w = Window.partitionBy("loc").orderBy(
+        F.col("priority_milli").desc_nulls_last(),
+        F.col("lastmod").desc_nulls_last(),
+        F.col("host"),
+    )
+    entries = (
+        entries.withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     # fresh feeds BOTH the robots verdicts and the final attribute join —
     # persist it (entry-sized: sitemap rows, not the crawl) or the Arrow
     # parse pass and the anti-join run once per consumer (plan-audited:
@@ -107,11 +126,14 @@ def synth_sitemaps_df(
     """Deterministic sitemap bodies per host: clean urlset entries (new
     ids beyond the crawled range plus, when ``known`` is given, real
     already-crawled urls so the anti-join has guaranteed work), plus
-    namespace prefixes, CDATA, entities, junk blocks, and one
-    sitemap-index."""
+    namespace prefixes, CDATA, entities, junk blocks, one sitemap-index,
+    REPEATED locs within a sitemap, and locs cross-submitted by the
+    previous host's sitemap (both legal; the frontier must emit each loc
+    once — the twin gate asserts url uniqueness)."""
     known = known or {}
     rows = []
-    for i, host in enumerate(sorted(hosts)):
+    sorted_hosts = sorted(hosts)
+    for i, host in enumerate(sorted_hosts):
         parts = ['<?xml version="1.0" encoding="UTF-8"?>']
         if i % 7 == 3:
             parts.append(
@@ -149,6 +171,16 @@ def synth_sitemaps_df(
         if i % 5 == 2:
             parts.append("<url><lastmod>2026-01-01</lastmod></url>")  # no loc
             parts.append("<url><loc>   </loc></url>")  # blank loc
+        # repeated loc within the same sitemap, different priority
+        dup_loc = f"https://{host}/article/{100000 + i * 1000}"
+        parts.append(f"<url><loc>{dup_loc}</loc><priority>0.9</priority></url>")
+        # cross-submission: this host's sitemap also lists the previous
+        # host's first article (the same URL in two hosts' sitemaps)
+        if i > 0:
+            prev = sorted_hosts[i - 1]
+            parts.append(
+                f"<url><loc>https://{prev}/article/{100000 + (i - 1) * 1000}</loc></url>"
+            )
         parts.append("</urlset>")
         rows.append((host, "".join(parts)))
     return spark.createDataFrame(pd.DataFrame(rows, columns=["host", "xml"]))

@@ -74,9 +74,14 @@ def robots_filter(
     joined = urls.join(robots.select("host", "body"), ["host"], "left")
 
     def decide(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import OrderedDict
+
         from ..engine.robots import RobotsMatcher
 
-        cache: dict[str, RobotsMatcher] = {}
+        # true LRU: evict one cold entry at a time — a clear()-style purge
+        # oscillates between full and empty on tasks streaming >capacity
+        # distinct bodies, recompiling hot hosts' rule sets repeatedly
+        cache: OrderedDict[str, RobotsMatcher] = OrderedDict()
         for pdf in batches:
             outs = []
             # robots-less hosts: RFC §2.3.1 unavailable => allowed
@@ -95,9 +100,11 @@ def robots_filter(
             for body, grp in pdf[pdf["body"].notna()].groupby("body", sort=False):
                 matcher = cache.get(body)
                 if matcher is None:
-                    if len(cache) > 4096:  # bound task memory on huge batches
-                        cache.clear()
+                    while len(cache) >= 4096:  # bound task memory on huge batches
+                        cache.popitem(last=False)
                     matcher = cache[body] = RobotsMatcher(body, agent)
+                else:
+                    cache.move_to_end(body)
                 allowed = pd.Series(True, index=grp.index)
                 rule = pd.Series("", index=grp.index)
                 paths = grp["path"]

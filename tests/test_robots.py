@@ -81,13 +81,17 @@ def _twin_decide(body: str, agent: str, path: str):
     sel = [g for g in groups if agent in g[0]]
     if not sel:
         sel = [g for g in groups if "*" in g[0]]
-    best = None  # (len, allow, pattern)
+    def spec(p):
+        # octets, excluding the trailing $ anchor (mirrors engine)
+        return len((p[:-1] if p.endswith("$") else p).encode("utf-8"))
+
+    best = None  # (spec, allow, pattern); strict > keeps the FIRST tie rule
     for _uas, rules in sel:
         for allow, patt in rules:
             if _twin_wild(patt, path):
-                key = (len(patt), allow)
+                key = (spec(patt), allow)
                 if best is None or key > (best[0], best[1]):
-                    best = (len(patt), allow, patt)
+                    best = (spec(patt), allow, patt)
     if best is None:
         return True, ""
     return best[1], best[2]
@@ -103,6 +107,15 @@ ADVERSARIAL_BODIES = [
     "User-agent: *\n# comment\nSitemap: https://x/s.xml\nDisallow: /s\n",
     "User-agent: *\nDisallow: /**$\n",
     "User-agent: *\nDisallow: /$\n",
+    # same-specificity same-verdict tie: first-declared rule must win the
+    # attribution on '/a' (ADVICE r4 — engine previously reported the last)
+    "User-agent: *\nDisallow: /a*\nDisallow: /*a\n",
+    # $-anchor must not inflate specificity: /ab$ and /ab tie at 3 octets,
+    # allow wins the tie on '/ab'
+    "User-agent: *\nDisallow: /ab$\nAllow: /ab\n",
+    # octet counting: /café is 6 UTF-8 octets (beats 5-octet /caf*);
+    # code-point counting would tie them at 5 and flip the verdict
+    "User-agent: *\nDisallow: /café\nAllow: /caf*\n",
     "",
 ]
 
@@ -110,6 +123,7 @@ PATHS = [
     "/", "/a", "/ab", "/abc", "/aXbYc", "/aXbYcZ", "/article/1",
     "/article/11", "/article/12", "/article/111", "/art", "/article",
     "/only-ab", "/s", "/sx", "/x", "/x?q=1", "/article/1?page=2",
+    "/café", "/cafX",
 ]
 
 
