@@ -345,6 +345,8 @@ def main() -> None:
         "lr_quality_scores",
         "fineweb_filter_chain",
         "sitemap_frontier",
+        # round-5 additions
+        "bpe_encode_freqs",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

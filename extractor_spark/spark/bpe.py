@@ -51,6 +51,33 @@ def _tokens(docs: DataFrame):
     )
 
 
+def _merge_fold(sym, left: str, right: str):
+    """One BPE merge applied to a symbol array as a JVM-side left-fold
+    (overlapping occurrences merge left-to-right — the classic semantics).
+    Shared by the trainer's per-round apply and the encoder, so encoding
+    is exactly the transformation training performed."""
+    merged = left + right
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _char_syms(word_col):
+    """word → [chars..., </w>] (Spark split keeps the trailing empty that
+    the (?!^) end-of-string lookahead produces at limit=-1 — drop it)."""
+    return F.concat(
+        F.filter(F.split(word_col, "(?!^)"), lambda c: c != ""),
+        F.array(F.lit(_EOW)),
+    )
+
+
 def learn_bpe(docs: DataFrame, n_merges: int = 24) -> list[tuple[int, str, str, int]]:
     """Learn `n_merges` BPE merges from the corpus's text column.
 
@@ -66,15 +93,7 @@ def learn_bpe(docs: DataFrame, n_merges: int = 24) -> list[tuple[int, str, str, 
         .filter(F.col("word").rlike(_BMP_ONLY))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
-        .select(
-            "cnt",
-            F.concat(
-                # Spark split uses limit=-1 (keeps the trailing empty the
-                # end-of-string lookahead produces) — drop empties
-                F.filter(F.split(F.col("word"), "(?!^)"), lambda c: c != ""),
-                F.array(F.lit(_EOW)),
-            ).alias("sym"),
-        )
+        .select("cnt", _char_syms(F.col("word")).alias("sym"))
     )
     before = caches.persistent_ids(sc)
     state = vocab.localCheckpoint(eager=False)
@@ -112,21 +131,8 @@ def learn_bpe(docs: DataFrame, n_merges: int = 24) -> list[tuple[int, str, str, 
         merges.append((rank, left, right, n))
         if rank == n_merges - 1:
             break  # last merge learned — no next state needed
-        merged = left + right
         new_state = state.select(
-            "cnt",
-            F.aggregate(
-                F.col("sym"),
-                F.array().cast("array<string>"),
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(left))
-                    & (x == F.lit(right)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            ).alias("sym"),
+            "cnt", _merge_fold(F.col("sym"), left, right).alias("sym")
         )
         before = caches.persistent_ids(sc)
         state = new_state.localCheckpoint(eager=False)
@@ -139,6 +145,40 @@ def learn_bpe(docs: DataFrame, n_merges: int = 24) -> list[tuple[int, str, str, 
     for h in cur_handles:
         h.unpersist()
     return merges
+
+
+def encode_bpe_df(
+    docs: DataFrame, merges: list[tuple[int, str, str, int]], top_k: int = 200
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge table and return the
+    corpus-wide subword frequency table (token, freq) — the
+    tokenizer-QA artifact (coverage/fertility checks) every tokenizer
+    training run produces.
+
+    Scale shape: the SAME distinct-word trick as training — each distinct
+    word is encoded once (vocabulary-sized work, corpus-size-independent),
+    weighted by its corpus count; the merge table is a driver-side list
+    baked into a static chain of ``_merge_fold`` expressions (24 merges =
+    24 nested JVM folds, zero Python, zero extra shuffles beyond the
+    vocab groupBy and the token-frequency groupBy).  Applying merges in
+    rank order with the shared fold reproduces exactly the trainer's
+    final symbol state."""
+    vocab = (
+        _tokens(docs)
+        .filter(F.col("word").rlike(_BMP_ONLY))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sym = _char_syms(F.col("word"))
+    for _rank, left, right, _n in merges:
+        sym = _merge_fold(sym, left, right)
+    return (
+        vocab.select("cnt", F.explode(sym).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(top_k)
+    )
 
 
 def learn_bpe_df(docs: DataFrame, n_merges: int = 24) -> DataFrame:

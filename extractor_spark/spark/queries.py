@@ -2862,6 +2862,24 @@ def _bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_df(spark.table("documents"), n_merges=24).orderBy("rank")
 
 
+def _bpe_encode_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer train-then-tokenize: learn a 16-merge BPE
+    table from the corpus, then encode the corpus with it and emit the
+    top-200 subword frequency table — the tokenizer-QA artifact
+    (coverage/fertility stats).  Encoding reuses the trainer's OWN merge
+    fold (spark/bpe.py::_merge_fold) on the distinct-word vocabulary:
+    vocabulary-sized work, 24 nested JVM folds, no Python in the path.
+    Rows-only: iterative argmax learning has no SQL twin; encode gates in
+    tests/test_bpe_learn.py (exact (token, freq) equality vs the
+    independent dict-based trainer + list-walk encoder)."""
+    from .bpe import encode_bpe_df, learn_bpe
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    merges = learn_bpe(docs, n_merges=16)
+    return encode_bpe_df(docs, merges, top_k=200)
+
+
 def _robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 robots-exclusion verdict for every page of the synth crawl
     against deterministic per-host robots.txt bodies (wildcards, $ anchors,
@@ -3179,6 +3197,7 @@ QUERIES: dict[str, tuple] = {
     "ccnet_perplexity": (_ccnet_perplexity, None),
     "robots_filter": (_robots_filter, None),
     "bpe_learn_merges": (_bpe_learn_merges, None),
+    "bpe_encode_freqs": (_bpe_encode_freqs, None),
     "lr_quality_scores": (_lr_quality_scores, None),
     "sitemap_frontier": (_sitemap_frontier, None),
 }

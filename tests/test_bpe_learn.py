@@ -68,6 +68,57 @@ def test_matches_reference_trainer_on_corpus(spark):
     assert len(got) == 16
 
 
+def _twin_encode_freqs(texts, merges):
+    """Independent encoder: learn-side vocab + per-merge list walk (the
+    same algorithm the twin trainer uses internally), then a Counter of
+    final symbols weighted by word counts."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w and all(ord(c) <= 0xFFFF for c in w):
+                vocab[w] += 1
+    freqs = Counter()
+    for w, cnt in vocab.items():
+        s = list(w) + ["</w>"]
+        for _rank, left, right, _n in merges:
+            out = []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            s = out
+        for tok in s:
+            freqs[tok] += cnt
+    return freqs
+
+
+def test_encode_matches_independent_encoder(spark):
+    """bpe_encode_freqs (train 16 merges, encode, top-200 token freqs)
+    must equal the independent trainer+encoder exactly, including the
+    (freq desc, token asc) ordering — all-integer comparison."""
+    from extractor_spark.spark.queries import QUERIES, _views
+
+    _views(spark, SF_DIR)
+    texts = [
+        r["text"]
+        for r in spark.table("documents").select("text").collect()
+        if r["text"]
+    ]
+    fn, oracle = QUERIES["bpe_encode_freqs"]
+    assert oracle is None
+    got = [(r["token"], r["freq"]) for r in fn(spark, SF_DIR).collect()]
+
+    want_merges = _twin_learn(texts, 16)
+    freqs = _twin_encode_freqs(texts, want_merges)
+    want = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    assert got == want
+    # the encoding actually uses the merges: every learned merged symbol
+    # with nonzero corpus frequency must appear as a token
+    merged_syms = {l + r for _rk, l, r, _n in want_merges}
+    assert merged_syms & {t for t, _f in got}
+
+
 def test_overlapping_pairs_merge_left_to_right(spark):
     # "aaaa" with merge (a,a): left-to-right gives [aa, aa, </w>], NOT
     # [a, aa, a, </w>] — so round 2 sees (aa,aa):3 and (aa,</w>):3, a tie
