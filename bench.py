@@ -347,6 +347,7 @@ def main() -> None:
         "sitemap_frontier",
         # round-5 additions
         "bpe_encode_freqs",
+        "crawl_budget_allocation",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

@@ -196,6 +196,57 @@ def streaming_frontier(
     )
 
 
+def allocate_crawl_budget(
+    frontier: DataFrame, budget: int, per_host_cap: int | None = None
+) -> DataFrame:
+    """Politeness-aware fetch scheduling over a frontier (the
+    Mercator/Heritrix budget shape): split a global fetch ``budget``
+    across hosts proportionally to their frontier share — every
+    represented host gets at least 1 slot, an optional ``per_host_cap``
+    bounds hot hosts — then pick each host's top-priority URLs within its
+    quota.
+
+    Determinism: quotas are (budget × n_urls) DIV total (BIGINT integer
+    division — no float anywhere), slot ordering inside a host is
+    (priority desc nulls last, url).  Scale shape: the frontier is
+    shuffled ONCE on host (the same partitioning a politeness queue needs
+    anyway); n_urls, slot, and the quota are all computed in that single
+    window pass, and the only other traffic is the 1-row total broadcast.
+    No host-sized table is ever built or broadcast (10^8 hosts at web
+    scale).
+
+    Returns (url, host, priority_milli, host_quota, slot) with slot ≤
+    host_quota — ``slot`` is the per-host fetch order."""
+    from pyspark.sql import Window
+
+    total = frontier.select(F.count("*").cast("bigint").alias("t"))
+    w_host = Window.partitionBy("host")
+    w_slot = Window.partitionBy("host").orderBy(
+        F.col("priority_milli").desc_nulls_last(), "url"
+    )
+    cap_terms = (
+        [F.lit(int(per_host_cap)).cast("bigint")] if per_host_cap else []
+    )
+    n_urls = F.count("*").over(w_host).cast("bigint")
+    quota = F.least(
+        n_urls,
+        F.greatest(
+            F.expr(f"CAST({int(budget)} AS BIGINT) * _n_urls DIV _t"),
+            F.lit(1).cast("bigint"),
+        ),
+        *cap_terms,
+    )
+    return (
+        frontier.crossJoin(F.broadcast(total).withColumnRenamed("t", "_t"))
+        .withColumn("_n_urls", n_urls)
+        .withColumn("slot", F.row_number().over(w_slot))
+        .withColumn("host_quota", quota)
+        .filter(F.col("slot") <= F.col("host_quota"))
+        .select("url", "host", "priority_milli", "host_quota", "slot")
+        .orderBy("host", "slot")
+    )
+
+
 def synth_sitemaps_df(
     spark,
     hosts: list[str],

@@ -2831,6 +2831,22 @@ def _sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_frontier(sitemaps, pages, robots, agent="extractor-spark")
 
 
+def _crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware fetch scheduling (Mercator/Heritrix budget shape)
+    over the sitemap frontier: a global budget of 200 fetch slots split
+    across hosts proportionally to frontier share (integer DIV, every
+    host ≥1 slot, per-host cap 8), each host's slots going to its
+    top-priority URLs.  One host shuffle total — n_urls, slot, and quota
+    all come out of the same window pass (spark/frontier.py).  Rows-only:
+    synth-input composition; exact pandas twin in
+    tests/test_sitemap_frontier.py."""
+    from .frontier import allocate_crawl_budget
+
+    return allocate_crawl_budget(
+        _sitemap_frontier(spark, sf_dir), budget=200, per_host_cap=8
+    )
+
+
 def _lr_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic-regression TRAINING over hashed n-gram
     features (full-batch GD on a bounded seeded sample — ≤10k docs by
@@ -3200,6 +3216,7 @@ QUERIES: dict[str, tuple] = {
     "bpe_encode_freqs": (_bpe_encode_freqs, None),
     "lr_quality_scores": (_lr_quality_scores, None),
     "sitemap_frontier": (_sitemap_frontier, None),
+    "crawl_budget_allocation": (_crawl_budget_allocation, None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that USED to be oracled

@@ -214,6 +214,40 @@ def test_streaming_frontier_equals_batch(spark, tmp_path):
     assert len({u for (u, *_rest) in got}) == len(got)  # one row per url
 
 
+def test_crawl_budget_allocation_matches_pandas_twin(spark):
+    """allocate_crawl_budget vs an independent pure-Python allocator over
+    the same frontier rows: exact (url, host, priority, quota, slot)
+    equality, plus the politeness invariants (quota respects the cap and
+    the proportional floor, every represented host gets ≥1 slot, slots
+    are the host's top-priority URLs in order)."""
+    from extractor_spark.spark.queries import QUERIES
+
+    fn, oracle = QUERIES["crawl_budget_allocation"]
+    assert oracle is None
+    got = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+
+    frontier = [
+        (r["url"], r["host"], r["priority_milli"])
+        for r in QUERIES["sitemap_frontier"][0](spark, SF_DIR).collect()
+    ]
+    budget, cap = 200, 8
+    by_host: dict = {}
+    for u, h, p in frontier:
+        by_host.setdefault(h, []).append((u, p))
+    total = len(frontier)
+    want = []
+    for h, items in by_host.items():
+        n = len(items)
+        quota = min(n, max(budget * n // total, 1), cap)
+        # priority desc nulls last, then url
+        items.sort(key=lambda t: (-(t[1] if t[1] is not None else -(10**9)), t[0]))
+        for slot, (u, p) in enumerate(items[:quota], start=1):
+            want.append((u, h, p, quota, slot))
+    assert sorted(got, key=repr) == sorted(want, key=repr)
+    assert {h for _u, h, *_ in got} == set(by_host)  # every host represented
+    assert max(q for *_x, q, _s in got) <= cap
+
+
 def test_frontier_rows_only_schema_stable(spark):
     from extractor_spark.spark.queries import QUERIES
 
