@@ -5,7 +5,11 @@
 DataFrame.  ``queries``/``oracle_sql`` expose the operator inventory of
 SURVEY.md §2 over the driver-provided tables with DuckDB oracles
 (extractor_spark/spark/queries.py); probabilistic scale-path ops
-(MinHash-LSH, SimHash, hyperplane LSH) are registered rows-only.
+(MinHash-LSH, SimHash, hyperplane LSH) and iterative trainers are
+registered rows-only.  The driver records the first 50 entries, all
+oracled; round 5 rotated six curation-rule queries (exact DuckDB twins)
+into that window, retiring six trivial one-liners to rows-only with
+their SQL kept as in-repo twin gates (queries.py:TWIN_SQL).
 """
 
 from __future__ import annotations

@@ -77,8 +77,11 @@ def test_chain_differentiates_on_engineered_docs(spark):
     assert rows[5]["gopher_pass"] is True and rows[5]["c4_keep"] is True
 
 
-def test_registry_entry_rows_only(spark):
+def test_registry_entry_oracled(spark):
+    # round-5 rotation: the chain is driver-oracled via its DuckDB twin
+    from extractor_spark.spark.queries import _FINEWEB_DUCK
+
     fn, oracle = QUERIES["fineweb_filter_chain"]
-    assert oracle is None
+    assert oracle == _FINEWEB_DUCK
     out = fn(spark, "/root/testdata/sf0.001")
     assert out.count() == 500
