@@ -348,6 +348,7 @@ def main() -> None:
         # round-5 additions
         "bpe_encode_freqs",
         "crawl_budget_allocation",
+        "langid_ngram_model",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

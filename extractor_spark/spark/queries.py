@@ -2831,6 +2831,21 @@ def _sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_frontier(sitemaps, pages, robots, agent="extractor-spark")
 
 
+def _langid_ngram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language ID (CLD-style char-trigram Naive Bayes,
+    spark/langid.py) — upgrades the marker-word `lang_id` heuristic to a
+    model fit on the corpus's own labels (even-doc_id train half, top-2k
+    trigrams per language, Laplace floor).  Scores are exact BIGINT sums
+    of micro-nat log-likelihoods, so the pandas twin
+    (tests/test_langid_model.py) matches integer-exactly.  Rows-only:
+    trained-model inference; model is bounded and driver-resident,
+    corpus touched once for counts and once for scoring."""
+    from .langid import langid_scores_df
+
+    _views(spark, sf_dir)
+    return langid_scores_df(spark.table("documents"))
+
+
 def _crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-aware fetch scheduling (Mercator/Heritrix budget shape)
     over the sitemap frontier: a global budget of 200 fetch slots split
@@ -3217,6 +3232,7 @@ QUERIES: dict[str, tuple] = {
     "lr_quality_scores": (_lr_quality_scores, None),
     "sitemap_frontier": (_sitemap_frontier, None),
     "crawl_budget_allocation": (_crawl_budget_allocation, None),
+    "langid_ngram_model": (_langid_ngram_model, None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that USED to be oracled
