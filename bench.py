@@ -349,6 +349,9 @@ def main() -> None:
         "bpe_encode_freqs",
         "crawl_budget_allocation",
         "langid_ngram_model",
+        "quality_auc_by_source",
+        "bm25_topk",
+        "feed_frontier",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

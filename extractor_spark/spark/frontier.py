@@ -314,3 +314,175 @@ def synth_sitemaps_df(
         parts.append("</urlset>")
         rows.append((host, "".join(parts)))
     return spark.createDataFrame(pd.DataFrame(rows, columns=["host", "xml"]))
+
+
+# ---------------------------------------------------------------------------
+# Feed discovery (RSS/Atom — engine/feeds.py): the "what is NEW" half of
+# the discovery stack, composed exactly like the sitemap frontier.
+# ---------------------------------------------------------------------------
+
+_FEED_ENTRY_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("loc", T.StringType()),
+        T.StructField("published_s", T.LongType()),
+        T.StructField("title", T.StringType()),
+    ]
+)
+
+
+def parse_feeds(feeds: DataFrame) -> DataFrame:
+    """(host, xml) → exploded (host, kind, loc, published_s, title) via one
+    Arrow ``mapInPandas`` pass (engine/feeds.py per payload — tolerant,
+    per-entry degradation, a non-feed payload yields zero rows)."""
+
+    def run(batches):
+        from ..engine.feeds import parse_feed
+
+        for pdf in batches:
+            rows = []
+            for host, xml in zip(pdf["host"], pdf["xml"]):
+                for e in parse_feed(xml or ""):
+                    rows.append((host, e.kind, e.loc, e.published_s, e.title))
+            yield pd.DataFrame(
+                rows, columns=["host", "kind", "loc", "published_s", "title"]
+            )
+
+    return feeds.select("host", "xml").mapInPandas(run, schema=_FEED_ENTRY_SCHEMA)
+
+
+def build_feed_frontier(
+    feeds: DataFrame,
+    crawled_pages: DataFrame,
+    robots: DataFrame,
+    agent: str = "extractor-spark",
+) -> DataFrame:
+    """URLs announced by a feed, not yet crawled, robots-allowed — the
+    incremental-discovery sibling of ``build_frontier``.  Freshness is the
+    numeric ``published_s`` (engine/feeds.py normalizes RFC 822 and
+    RFC 3339 dates to epoch seconds — unlike sitemap ISO ``lastmod``
+    strings, feed dates do not sort lexically).
+
+    Same scale shape as the sitemap path: one Arrow parse pass, one
+    loc-shuffle for the dedupe (cross-posted and repeated entries are
+    legal and common in feeds — syndication mirrors), co-keyed anti-join
+    against the crawl, robots verdicts on the deduped survivors only.
+    Returns (url, host, published_s, title, rule) sorted freshest-first."""
+    from pyspark.sql import Window
+
+    from . import caches
+    from .robots import robots_filter
+
+    entries = parse_feeds(feeds)
+    dedup_w = Window.partitionBy("loc").orderBy(
+        F.col("published_s").desc_nulls_last(),
+        F.col("host"),
+        F.col("kind"),
+    )
+    entries = (
+        entries.withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # fresh feeds both the robots verdicts and the final attribute join —
+    # persist (feed-entry-sized) or the Arrow parse + anti-join would run
+    # once per consumer (same plan-audit finding as build_frontier).
+    fresh = entries.join(
+        crawled_pages.select(F.col("url").alias("loc")).distinct(),
+        ["loc"],
+        "left_anti",
+    ).persist()
+    caches.register(fresh)
+    verdicts = robots_filter(fresh.select(F.col("loc").alias("url")), robots, agent)
+    return (
+        fresh.join(verdicts.filter("allowed"), fresh["loc"] == verdicts["url"])
+        .select(
+            verdicts["url"],
+            verdicts["host"],
+            "published_s",
+            "title",
+            "rule",
+        )
+        .orderBy(F.col("published_s").desc_nulls_last(), "url")
+    )
+
+
+def synth_feeds_df(
+    spark,
+    hosts: list[str],
+    n_per_host: int = 24,
+    known: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Deterministic feed bodies per host: RSS 2.0 for even hosts, Atom
+    for odd (both with namespace/CDATA/entity/junk noise), embedding
+    already-crawled urls when ``known`` is given so the anti-join has
+    guaranteed work, repeated locs within one feed and cross-posted locs
+    across hosts (syndication), items with no link, permalink and
+    non-permalink guids, rel=self link noise, unparseable dates, and one
+    non-feed payload."""
+    known = known or {}
+    rows = []
+    sorted_hosts = sorted(hosts)
+    for i, host in enumerate(sorted_hosts):
+        if i % 11 == 6:
+            rows.append((host, "this is not a feed at all {}"))
+            continue
+        items = []
+        locs = [f"https://{host}/post/{200000 + i * 1000 + k}" for k in range(n_per_host)]
+        for u in known.get(host, []):
+            locs.append(u)
+        if i > 0:
+            # syndication: re-announce the previous host's first post
+            locs.append(f"https://{sorted_hosts[i - 1]}/post/{200000 + (i - 1) * 1000}")
+        locs.append(locs[0])  # repeated entry in the same feed
+        if i % 2 == 0:
+            for k, loc in enumerate(locs):
+                title = f"<![CDATA[Post <{k}> & more]]>" if k % 5 == 2 else f"Post {k}"
+                link = loc.replace("&", "&amp;") + ("?a=1&amp;b=2" if k % 9 == 4 else "")
+                item = "<item>"
+                if k % 7 == 3:
+                    item += '<atom:link href="https://feedproxy.invalid/self" rel="self"/>'
+                if k % 13 == 8:
+                    item += f'<guid isPermaLink="true">{link}</guid>'
+                else:
+                    item += f"<link>{link}</link>"
+                if k % 3 != 2:
+                    item += f"<pubDate>Mon, {k % 28 + 1:02d} Jul 2025 0{k % 10}:30:00 GMT</pubDate>"
+                elif k % 6 == 5:
+                    item += "<pubDate>not a date</pubDate>"
+                item += f"<title>{title}</title><junk>x</junk></item>"
+                items.append(item)
+            items.append("<item><title>linkless</title></item>")
+            items.append('<item><guid isPermaLink="false">tag:not-a-url</guid></item>')
+            body = (
+                '<?xml version="1.0"?><rss version="2.0" '
+                'xmlns:atom="http://www.w3.org/2005/Atom"><channel>'
+                f"<title>{host}</title><link>https://{host}/</link>"
+                + "".join(items)
+                + "</channel></rss>"
+            )
+        else:
+            for k, loc in enumerate(locs):
+                tag = "atom:entry" if k % 13 == 4 else "entry"
+                entry = f"<{tag}>"
+                if k % 7 == 3:
+                    entry += f'<link rel="enclosure" href="https://{host}/audio/{k}.mp3"/>'
+                entry += f'<link rel="alternate" href="{loc.replace("&", "&amp;")}"/>'
+                if k % 3 != 2:
+                    entry += f"<updated>2025-07-{k % 28 + 1:02d}T0{k % 10}:30:00Z</updated>"
+                elif k % 6 == 5:
+                    entry += f"<published>2025-06-{k % 28 + 1:02d}T00:00:00+02:00</published>"
+                entry += f"<title>Entry {k}</title></{tag}>"
+                items.append(entry)
+            items.append("<entry><title>linkless</title></entry>")
+            # xmlns:atom DECLARED: the etree twin parses these bodies and an
+            # undeclared prefix is fine for the tolerant engine but kills
+            # etree (same lesson as the sitemap synth's xmlns:sm).
+            body = (
+                '<feed xmlns="http://www.w3.org/2005/Atom"'
+                ' xmlns:atom="http://www.w3.org/2005/Atom">'
+                f"<title>{host}</title>" + "".join(items) + "</feed>"
+            )
+        rows.append((host, body))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["host", "xml"]))

@@ -2831,6 +2831,40 @@ def _sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_frontier(sitemaps, pages, robots, agent="extractor-spark")
 
 
+def _feed_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-driven incremental discovery over the synth crawl: tolerant
+    RSS 2.0 / Atom parsing (engine/feeds.py — the "what is NEW" discovery
+    channel next to sitemaps' "what exists"), RFC 822 / RFC 3339 dates
+    normalized to epoch seconds, per-loc freshest-wins dedupe (syndication
+    cross-posts), left-anti join against already-crawled urls, RFC 9309
+    robots exclusion, freshest-first fetch order
+    (spark/frontier.py:build_feed_frontier).  Known crawled urls are
+    embedded into the synth feeds so the anti-join provably removes rows.
+    Rows-only; gates in tests/test_feed_frontier.py (xml.etree parser
+    twin, set-algebra frontier twin, tolerance + date cases)."""
+    from pyspark.sql import functions as F
+
+    from .frontier import build_feed_frontier, synth_feeds_df
+    from .robots import synth_robots_df
+
+    pages = _webgraph_pages(spark)
+    hp = [
+        (r["host"], r["url"])
+        for r in pages.select(
+            F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"), "url"
+        ).collect()
+    ]
+    hosts = sorted({h for h, _ in hp})
+    known: dict = {}
+    for h, u in sorted(hp):
+        known.setdefault(h, [])
+        if len(known[h]) < 8:
+            known[h].append(u)
+    feeds = synth_feeds_df(spark, hosts, known=known)
+    robots = synth_robots_df(spark, hosts)
+    return build_feed_frontier(feeds, pages, robots, agent="extractor-spark")
+
+
 def _langid_ngram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAINED language ID (CLD-style char-trigram Naive Bayes,
     spark/langid.py) — upgrades the marker-word `lang_id` heuristic to a
@@ -3132,6 +3166,161 @@ def ccnet_perplexity_frame(documents: DataFrame) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Classifier evaluation: ROC-AUC of a quality score against weak labels
+# (Mann-Whitney rank-sum with average-rank tie handling), exact integer
+# arithmetic end-to-end so the DuckDB twin matches bit-for-bit.
+#
+# Score under evaluation: stopword ratio in millis (the classic "is this
+# natural prose" signal every quality filter in the repo uses); weak label:
+# lang = 'en'.  Grouped per source so the output is a 5-row evaluation table.
+#
+# Scale shape: one shuffle on (source, score_milli) — score is milli-bucketed
+# so the distinct-key cardinality is bounded at ~1001 per source regardless
+# of corpus size; the rank window runs over those distinct scores, never over
+# documents (same bounded-histogram trick as ccnet_perplexity's tertiles).
+# AUC identity with ties: 2*R_pos = Σ p_s*(2*c_s + t_s + 1) over score
+# groups (p=positives, t=total, c=cumulative count of strictly-lower scores),
+# AUC = (2*R_pos - n_pos*(n_pos+1)) / (2*n_pos*n_neg) — all BIGINT until the
+# final micro-precision integer division.
+_AUC_SPARK = f"""
+WITH feats AS (
+  SELECT source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         (1000 * CAST(size(filter(split(trim(text), '\\\\s+'), t -> t IN {_STOPWORDS})) AS BIGINT))
+           DIV CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS score_milli
+  FROM documents
+), per_score AS (
+  SELECT source, score_milli,
+         CAST(SUM(pos) AS BIGINT) AS p,
+         COUNT(*) AS t
+  FROM feats GROUP BY source, score_milli
+), ranked AS (
+  SELECT source, p, t,
+         COALESCE(SUM(t) OVER (PARTITION BY source ORDER BY score_milli
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM per_score
+)
+SELECT source,
+       SUM(p) AS n_pos,
+       SUM(t) - SUM(p) AS n_neg,
+       SUM(p * (2 * c + t + 1)) - SUM(p) * (SUM(p) + 1) AS auc_num,
+       2 * SUM(p) * (SUM(t) - SUM(p)) AS auc_den,
+       CASE WHEN SUM(p) = 0 OR SUM(t) = SUM(p) THEN NULL
+            ELSE (1000000 * (SUM(p * (2 * c + t + 1)) - SUM(p) * (SUM(p) + 1)))
+                 DIV (2 * SUM(p) * (SUM(t) - SUM(p))) END AS auc_micro
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+_AUC_DUCK = f"""
+WITH feats AS (
+  SELECT source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         (1000 * CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN {_STOPWORDS})) AS BIGINT))
+           // CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS score_milli
+  FROM documents
+), per_score AS (
+  SELECT source, score_milli,
+         CAST(SUM(pos) AS BIGINT) AS p,
+         COUNT(*) AS t
+  FROM feats GROUP BY source, score_milli
+), ranked AS (
+  SELECT source, p, t,
+         COALESCE(SUM(t) OVER (PARTITION BY source ORDER BY score_milli
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM per_score
+)
+SELECT source,
+       CAST(SUM(p) AS BIGINT) AS n_pos,
+       CAST(SUM(t) - SUM(p) AS BIGINT) AS n_neg,
+       CAST(SUM(p * (2 * c + t + 1)) - SUM(p) * (SUM(p) + 1) AS BIGINT) AS auc_num,
+       CAST(2 * SUM(p) * (SUM(t) - SUM(p)) AS BIGINT) AS auc_den,
+       CAST(CASE WHEN SUM(p) = 0 OR SUM(t) = SUM(p) THEN NULL
+            ELSE (1000000 * (SUM(p * (2 * c + t + 1)) - SUM(p) * (SUM(p) + 1)))
+                 // (2 * SUM(p) * (SUM(t) - SUM(p))) END AS BIGINT) AS auc_micro
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+# BM25 top-k retrieval (Robertson/Sparck-Jones probabilistic ranking,
+# k1=1.2, b=0.75, the Lucene-style idf = ln(1 + (N-df+0.5)/(df+0.5)) which
+# is always positive) for a fixed 4-term query over the documents corpus.
+#
+# Scale shape: the postings CTE is a map-only scan (per-row array filter
+# against 4 broadcast-small query terms — no corpus explode, no term
+# shuffle); df is a 4-row aggregate; the scoring join broadcasts df and the
+# 1-row corpus stats.  The tf CTE is inlined twice by Catalyst (df + scored
+# — the documented CTE-inline behavior), i.e. two map-only corpus scans
+# feeding a 4-row agg and a bounded join: embarrassingly parallel at 100×.
+# Scores rounded to 4 decimals in BOTH dialects before the final sort so
+# ulp-level ln()/division differences between the JVM and DuckDB's libm
+# cannot reorder the top-k boundary.
+_BM25_TERMS_SPARK = "array('spark', 'join', 'window', 'stream')"
+_BM25_TERMS_DUCK = "['spark', 'join', 'window', 'stream']"
+_BM25_SPARK = f"""
+WITH toks AS (
+  SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS toks FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         AVG(CAST(size(toks) AS DOUBLE)) AS avgdl
+  FROM toks
+), q AS (
+  SELECT explode({_BM25_TERMS_SPARK}) AS term
+), tf AS (
+  SELECT t.doc_id, q.term,
+         CAST(size(filter(t.toks, x -> x = q.term)) AS BIGINT) AS tf,
+         CAST(size(t.toks) AS BIGINT) AS dl
+  FROM toks t CROSS JOIN q
+  WHERE size(filter(t.toks, x -> x = q.term)) > 0
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         SUM(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS bm25_r4
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id
+LIMIT 20
+"""
+_BM25_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         AVG(CAST(len(toks) AS DOUBLE)) AS avgdl
+  FROM toks
+), q AS (
+  SELECT unnest({_BM25_TERMS_DUCK}) AS term
+), tf AS (
+  SELECT t.doc_id, q.term,
+         CAST(len(list_filter(t.toks, x -> x = q.term)) AS BIGINT) AS tf,
+         CAST(len(t.toks) AS BIGINT) AS dl
+  FROM toks t CROSS JOIN q
+  WHERE len(list_filter(t.toks, x -> x = q.term)) > 0
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         SUM(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS bm25_r4
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     #
@@ -3233,13 +3422,18 @@ QUERIES: dict[str, tuple] = {
     "sitemap_frontier": (_sitemap_frontier, None),
     "crawl_budget_allocation": (_crawl_budget_allocation, None),
     "langid_ngram_model": (_langid_ngram_model, None),
+    "quality_auc_by_source": (_sql(_AUC_SPARK), None),
+    "bm25_topk": (_sql(_BM25_SPARK), None),
+    "feed_frontier": (_feed_frontier, None),
 }
 
-# DuckDB twin SQL for rows-only registry entries that USED to be oracled
-# (retired from the driver's 50-entry window in round 5 to make room for the
-# curation-rule queries above).  tests/test_queries_oracle.py runs these with
-# exactly the driver's compare (rows + columns + order-insensitive values) so
-# retirement loses no in-repo verification strength.
+# DuckDB twin SQL for rows-only registry entries that have an exact SQL
+# expression: entries retired from the driver's 50-slot oracled window in the
+# round-5 rotation, plus later rows-only additions whose semantics ARE
+# SQL-expressible (the window is capped at 50, so new exact-twin queries land
+# here instead).  tests/test_queries_oracle.py runs every entry with exactly
+# the driver's compare (rows + columns + order-insensitive values), so a
+# TWIN_SQL gate is oracle-strength even though the driver records rows-only.
 TWIN_SQL: dict[str, str] = {
     "filter_project": _FILTER_PROJECT,
     "lang_id": _LANG_ID,
@@ -3247,4 +3441,6 @@ TWIN_SQL: dict[str, str] = {
     "quality_scores": _QUALITY_ORACLE,
     "bpe_token_counts": _BPE_TOKENS_ORACLE,
     "decontaminate_docs": _DECONTAMINATE,
+    "quality_auc_by_source": _AUC_DUCK,
+    "bm25_topk": _BM25_DUCK,
 }
