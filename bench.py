@@ -352,6 +352,7 @@ def main() -> None:
         "quality_auc_by_source",
         "bm25_topk",
         "feed_frontier",
+        "exact_substring_dedup",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

@@ -3289,6 +3289,81 @@ FROM scored
 ORDER BY round(score, 4) DESC, doc_id
 LIMIT 20
 """
+
+# Exact-substring deduplication, APPLY step (the rewrite half of
+# dup_ngram_spans' find step — the "remove duplicated substrings, keep one
+# occurrence" semantics of suffix-array dedup pipelines): every 4-token
+# span that occurs ≥2 times anywhere in the corpus is removed from every
+# occurrence EXCEPT the globally first one (min (doc_id, pos) — encoded as
+# doc_id*2^20+pos, exact while docs stay under 2^20 tokens; web documents
+# do, and the production path would widen the key).  Overlapping removals
+# union through a distinct covered-index set per document, and the text is
+# rebuilt by index filtering so token order is preserved exactly.
+#
+# Scale shape: the gram explode is O(total tokens) rows shuffled once on
+# span; hot spans fan out k×1 against their 1-row stats (linear, unlike a
+# k² pair join); the covered-index rebuild is one doc_id shuffle.  This is
+# the deliberately-exact bounded-scale baseline — at 100 TB the find step
+# runs on hashed grams with a Bloom/frequency sketch instead of raw span
+# strings, but the rewrite semantics stay exactly these.
+_EXACT_SUBSTR_DEDUP_SPARK = """
+WITH toks AS (
+  SELECT doc_id, split(trim(text), '\\\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos, concat_ws(' ', slice(t, i, 4)) AS span
+  FROM toks LATERAL VIEW explode(sequence(1, size(t) - 3)) x AS i
+  WHERE size(t) >= 4
+), span_stats AS (
+  SELECT span,
+         MIN(doc_id * 1048576 + pos) AS first_key
+  FROM grams GROUP BY span HAVING COUNT(*) >= 2
+), covered AS (
+  SELECT g.doc_id, collect_set(idx) AS drop_idx
+  FROM grams g
+  JOIN span_stats s ON g.span = s.span
+  LATERAL VIEW explode(sequence(g.pos, g.pos + 3)) c AS idx
+  WHERE g.doc_id * 1048576 + g.pos <> s.first_key
+  GROUP BY g.doc_id
+)
+SELECT k.doc_id,
+       CAST(size(k.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(size(c.drop_idx), 0) AS BIGINT) AS n_dropped,
+       concat_ws(' ', transform(
+         filter(sequence(1, size(k.t)),
+                i -> NOT array_contains(coalesce(c.drop_idx, array(-1)), i)),
+         i -> element_at(k.t, i))) AS deduped_text
+FROM toks k LEFT JOIN covered c ON k.doc_id = c.doc_id
+ORDER BY k.doc_id
+"""
+_EXACT_SUBSTR_DEDUP_DUCK = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos, array_to_string(list_slice(t, i, i + 3), ' ') AS span
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
+        FROM toks WHERE len(t) >= 4)
+), span_stats AS (
+  SELECT span,
+         MIN(doc_id * 1048576 + pos) AS first_key
+  FROM grams GROUP BY span HAVING COUNT(*) >= 2
+), covered AS (
+  SELECT doc_id, list(DISTINCT idx) AS drop_idx
+  FROM (SELECT g.doc_id, g.pos, unnest(generate_series(g.pos, g.pos + 3)) AS idx
+        FROM grams g
+        JOIN span_stats s ON g.span = s.span
+        WHERE g.doc_id * 1048576 + g.pos <> s.first_key)
+  GROUP BY doc_id
+)
+SELECT k.doc_id,
+       CAST(len(k.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(len(c.drop_idx), 0) AS BIGINT) AS n_dropped,
+       coalesce(array_to_string(list_transform(
+         list_filter(generate_series(1, len(k.t)),
+                     i -> NOT list_contains(coalesce(c.drop_idx, [-1]), i)),
+         i -> k.t[i]), ' '), '') AS deduped_text
+FROM toks k LEFT JOIN covered c ON k.doc_id = c.doc_id
+ORDER BY k.doc_id
+"""
 _BM25_DUCK = f"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents
@@ -3425,6 +3500,7 @@ QUERIES: dict[str, tuple] = {
     "quality_auc_by_source": (_sql(_AUC_SPARK), None),
     "bm25_topk": (_sql(_BM25_SPARK), None),
     "feed_frontier": (_feed_frontier, None),
+    "exact_substring_dedup": (_sql(_EXACT_SUBSTR_DEDUP_SPARK), None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL
@@ -3443,4 +3519,5 @@ TWIN_SQL: dict[str, str] = {
     "decontaminate_docs": _DECONTAMINATE,
     "quality_auc_by_source": _AUC_DUCK,
     "bm25_topk": _BM25_DUCK,
+    "exact_substring_dedup": _EXACT_SUBSTR_DEDUP_DUCK,
 }

@@ -669,3 +669,45 @@ def test_oracled_queries_precede_rows_only():
     assert not late_oracled, (
         f"oracled queries after the first rows-only entry: {late_oracled}"
     )
+
+
+def test_exact_substring_dedup_semantics(spark):
+    """Apply-step semantics pinned on a crafted corpus: every duplicated
+    4-gram occurrence except the globally first (min (doc_id, pos)) is
+    removed; overlapping removals union through the covered-index set
+    (which may nibble into the kept first occurrence — documented);
+    sub-4-token docs are untouched; Spark and the DuckDB twin agree."""
+    import duckdb as _duckdb
+    import pandas as pd
+
+    from extractor_spark.spark.queries import (
+        _EXACT_SUBSTR_DEDUP_DUCK,
+        _EXACT_SUBSTR_DEDUP_SPARK,
+    )
+
+    rows = [
+        (0, "a b c d e"),          # holds the first occurrence of "a b c d"
+        (1, "a b c d x"),          # later occurrence -> tokens 1-4 removed
+        (2, "z z z z z z"),        # self-overlapping dup gram at pos 2,3
+        (3, "p q r"),              # < 4 tokens: no grams, untouched
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dropped"], r["deduped_text"])
+        for r in spark.sql(_EXACT_SUBSTR_DEDUP_SPARK).collect()
+    }
+    assert got == {
+        0: (5, 0, "a b c d e"),
+        1: (5, 4, "x"),
+        2: (6, 5, "z"),
+        3: (3, 0, "p q r"),
+    }, got
+
+    con = _duckdb.connect()
+    con.register("documents", pdf)
+    duck = {
+        d: (int(nt), int(nd), tx)
+        for d, nt, nd, tx in con.execute(_EXACT_SUBSTR_DEDUP_DUCK).fetchall()
+    }
+    assert duck == got
