@@ -353,6 +353,8 @@ def main() -> None:
         "bm25_topk",
         "feed_frontier",
         "exact_substring_dedup",
+        "pmi_collocations",
+        "sliding_context_chunks",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

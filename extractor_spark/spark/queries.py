@@ -3244,6 +3244,119 @@ GROUP BY source
 ORDER BY source
 """
 
+# PMI collocation mining (pointwise mutual information over adjacent-token
+# bigrams — the classic corpus-statistics operator behind phrase detection
+# and tokenizer-vocab seeding): pmi = ln(p(xy) / (p(x)·p(y))) with p(xy)
+# over bigram mass and p(x) over unigram mass, min bigram count 5.
+#
+# Scale shape: one explode + shuffle for unigram counts, one for bigram
+# counts (both map-side combined), then the bigram table joins its two
+# unigram marginals — vocab-keyed joins, corpus never re-shuffled; totals
+# are 1-row broadcasts.  The count products are cast to DOUBLE before
+# multiplying (BIGINT c_xy·Nu² would overflow at web scale).  Like
+# bm25_topk, the float pmi is rounded to 4 decimals in BOTH dialects
+# before the sort so libm ulp differences cannot reorder the top-k; the
+# exact integer counts ride along for downstream use.
+_PMI_SPARK = """
+WITH toks AS (
+  SELECT split(trim(lower(text)), '\\\\s+') AS t FROM documents
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks LATERAL VIEW explode(t) u AS w
+  GROUP BY w
+), nu AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni
+), big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM (
+    SELECT element_at(t, i) AS w1, element_at(t, i + 1) AS w2
+    FROM toks LATERAL VIEW explode(sequence(1, size(t) - 1)) b AS i
+    WHERE size(t) >= 2
+  )
+  GROUP BY w1, w2 HAVING COUNT(*) >= 5
+), nb AS (
+  SELECT CAST(SUM(c_xy) AS BIGINT) AS n_big FROM (
+    SELECT CAST(size(t) - 1 AS BIGINT) AS c_xy FROM toks WHERE size(t) >= 2
+  )
+)
+SELECT b.w1, b.w2, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+       round(ln((CAST(b.c_xy AS DOUBLE) * CAST(n.n_uni AS DOUBLE) * CAST(n.n_uni AS DOUBLE))
+                / (CAST(m.n_big AS DOUBLE) * CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE))), 4)
+         AS pmi_r4
+FROM big b
+JOIN uni ux ON b.w1 = ux.w
+JOIN uni uy ON b.w2 = uy.w
+CROSS JOIN nu n CROSS JOIN nb m
+ORDER BY pmi_r4 DESC, b.w1, b.w2
+LIMIT 50
+"""
+_PMI_DUCK = """
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS w FROM toks)
+  GROUP BY w
+), nu AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni
+), big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM toks WHERE len(t) >= 2)
+  )
+  GROUP BY w1, w2 HAVING COUNT(*) >= 5
+), nb AS (
+  SELECT CAST(SUM(c_xy) AS BIGINT) AS n_big FROM (
+    SELECT CAST(len(t) - 1 AS BIGINT) AS c_xy FROM toks WHERE len(t) >= 2
+  )
+)
+SELECT b.w1, b.w2, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+       round(ln((CAST(b.c_xy AS DOUBLE) * CAST(n.n_uni AS DOUBLE) * CAST(n.n_uni AS DOUBLE))
+                / (CAST(m.n_big AS DOUBLE) * CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE))), 4)
+         AS pmi_r4
+FROM big b
+JOIN uni ux ON b.w1 = ux.w
+JOIN uni uy ON b.w2 = uy.w
+CROSS JOIN nu n CROSS JOIN nb m
+ORDER BY pmi_r4 DESC, b.w1, b.w2
+LIMIT 50
+"""
+
+# Sliding context windows (RAG / long-context chunking): each document is
+# cut into windows of 32 tokens with stride 24 (25% overlap), the standard
+# "chunk with overlap" retrieval layout.  A document shorter than one
+# window yields exactly one chunk (its whole text); chunk starts are
+# 1, 25, 49, … and the LAST window is the one whose start is the largest
+# stride point < n_tokens (no empty tail chunks).  Pure per-row array math
+# — map-only, zero shuffles, embarrassingly parallel at any scale.
+_CHUNKS_SPARK = """
+WITH toks AS (
+  SELECT doc_id, split(trim(text), '\\\\s+') AS t FROM documents
+)
+SELECT doc_id,
+       CAST((i - 1) DIV 24 AS BIGINT) AS chunk_id,
+       CAST(i AS BIGINT) AS start_token,
+       CAST(least(32, size(t) - i + 1) AS BIGINT) AS n_chunk_tokens,
+       concat_ws(' ', slice(t, i, 32)) AS chunk_text
+FROM toks LATERAL VIEW explode(sequence(1, greatest(size(t) - 1, 1), 24)) c AS i
+ORDER BY doc_id, chunk_id
+"""
+_CHUNKS_DUCK = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+)
+SELECT doc_id,
+       CAST((i - 1) // 24 AS BIGINT) AS chunk_id,
+       CAST(i AS BIGINT) AS start_token,
+       CAST(least(32, len(t) - i + 1) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(t, i, i + 31), ' ') AS chunk_text
+FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 1), 24)) AS i
+      FROM toks)
+ORDER BY doc_id, chunk_id
+"""
+
 # BM25 top-k retrieval (Robertson/Sparck-Jones probabilistic ranking,
 # k1=1.2, b=0.75, the Lucene-style idf = ln(1 + (N-df+0.5)/(df+0.5)) which
 # is always positive) for a fixed 4-term query over the documents corpus.
@@ -3501,6 +3614,8 @@ QUERIES: dict[str, tuple] = {
     "bm25_topk": (_sql(_BM25_SPARK), None),
     "feed_frontier": (_feed_frontier, None),
     "exact_substring_dedup": (_sql(_EXACT_SUBSTR_DEDUP_SPARK), None),
+    "pmi_collocations": (_sql(_PMI_SPARK), None),
+    "sliding_context_chunks": (_sql(_CHUNKS_SPARK), None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL
@@ -3520,4 +3635,6 @@ TWIN_SQL: dict[str, str] = {
     "quality_auc_by_source": _AUC_DUCK,
     "bm25_topk": _BM25_DUCK,
     "exact_substring_dedup": _EXACT_SUBSTR_DEDUP_DUCK,
+    "pmi_collocations": _PMI_DUCK,
+    "sliding_context_chunks": _CHUNKS_DUCK,
 }

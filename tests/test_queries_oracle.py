@@ -711,3 +711,47 @@ def test_exact_substring_dedup_semantics(spark):
         for d, nt, nd, tx in con.execute(_EXACT_SUBSTR_DEDUP_DUCK).fetchall()
     }
     assert duck == got
+
+
+def test_sliding_context_chunks_semantics(spark):
+    """Window/stride edges pinned: 32-token windows at stride 24; a doc
+    shorter than one window yields exactly one whole-doc chunk; the last
+    window starts at the largest stride point < n_tokens (short tail, no
+    empty chunks); both dialects agree."""
+    import duckdb as _duckdb
+    import pandas as pd
+
+    from extractor_spark.spark.queries import _CHUNKS_DUCK, _CHUNKS_SPARK
+
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(1, 101))),  # 100 toks: starts 1,25,49,73,97
+        (1, " ".join(f"w{i}" for i in range(1, 33))),   # exactly 32: starts 1,25
+        (2, "a b c"),                                     # < window: one chunk
+        (3, ""),                                          # empty: one 1-token '' chunk
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    got = [
+        (r["doc_id"], r["chunk_id"], r["start_token"], r["n_chunk_tokens"])
+        for r in spark.sql(_CHUNKS_SPARK).collect()
+    ]
+    want = (
+        [(0, k, 1 + 24 * k, min(32, 100 - 24 * k)) for k in range(5)]
+        + [(1, 0, 1, 32), (1, 1, 25, 8)]
+        + [(2, 0, 1, 3), (3, 0, 1, 1)]
+    )
+    assert got == want, got
+    texts = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_text"]
+        for r in spark.sql(_CHUNKS_SPARK).collect()
+    }
+    assert texts[(0, 4)] == "w97 w98 w99 w100"
+    assert texts[(2, 0)] == "a b c" and texts[(3, 0)] == ""
+
+    con = _duckdb.connect()
+    con.register("documents", pdf)
+    duck = [
+        (int(a), int(b), int(c), int(d))
+        for a, b, c, d, _t in con.execute(_CHUNKS_DUCK).fetchall()
+    ]
+    assert duck == want
