@@ -3508,6 +3508,64 @@ ORDER BY round(score, 4) DESC, doc_id
 LIMIT 20
 """
 
+# Per-domain document quota (crawl-pipeline "domain cap": no single site may
+# contribute more than N documents to the training set — the C4/RefinedWeb
+# anti-spam measure).  Keep the best CAP docs per source by length, with an
+# md5(doc_id) tiebreak so the choice is deterministic and identical across
+# engines (Spark and DuckDB md5 both emit lowercase hex over UTF-8 bytes).
+# Scale shape: ONE shuffle on source; Spark 4 plants a WindowGroupLimit
+# below the sort (rank-filter pushdown), so each partition keeps only CAP
+# rows per key before the full window sort — a hot domain with 10^9 pages
+# costs top-CAP per map task, not a 10^9-row per-key sort.  Plan-pinned in
+# tests/test_mixture_quota.py.
+_SOURCE_QUOTA_CAP = 12
+_SOURCE_QUOTA_SPARK = f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY n_chars DESC, md5(CAST(doc_id AS STRING)), doc_id
+         ) AS src_rank
+  FROM documents
+)
+SELECT doc_id, source, n_chars, CAST(src_rank AS BIGINT) AS src_rank
+FROM ranked
+WHERE src_rank <= {_SOURCE_QUOTA_CAP}
+ORDER BY source, src_rank
+"""
+_SOURCE_QUOTA_DUCK = _SOURCE_QUOTA_SPARK.replace("AS STRING", "AS VARCHAR")
+
+# Data-mixture resampling (The-Pile/DoReMi application step): given target
+# per-language document budgets, draw exactly min(budget, available) docs
+# per language, chosen by a deterministic seeded order (md5 of doc_id — a
+# uniform hash, so the draw is an unbiased sample yet reproducible and
+# engine-independent).  Budgets sum to ~200 on the 500-doc sf0.01 corpus so
+# every language is genuinely subsampled at bench scale.  Scale shape: ONE
+# shuffle on lang (5 keys → WindowGroupLimit bounds per-key state exactly as
+# above); budgets are a broadcast-small inline table.
+_MIXTURE_TARGETS = [("en", 60), ("de", 50), ("fr", 40), ("es", 30), ("zh", 20)]
+_MIXTURE_TARGETS_SQL = " UNION ALL ".join(
+    f"SELECT '{lang}' AS lang, {n} AS n_take" for lang, n in _MIXTURE_TARGETS
+)
+_MIXTURE_SAMPLE_SPARK = f"""
+WITH targets AS (
+  {_MIXTURE_TARGETS_SQL}
+), ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+         ) AS rnk
+  FROM documents
+)
+SELECT r.doc_id, r.lang, CAST(r.rnk AS BIGINT) AS lang_rank
+FROM ranked r
+JOIN targets t ON r.lang = t.lang
+WHERE r.rnk <= t.n_take
+ORDER BY r.lang, lang_rank
+"""
+_MIXTURE_SAMPLE_DUCK = _MIXTURE_SAMPLE_SPARK.replace("AS STRING", "AS VARCHAR")
+
 
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
@@ -3616,6 +3674,8 @@ QUERIES: dict[str, tuple] = {
     "exact_substring_dedup": (_sql(_EXACT_SUBSTR_DEDUP_SPARK), None),
     "pmi_collocations": (_sql(_PMI_SPARK), None),
     "sliding_context_chunks": (_sql(_CHUNKS_SPARK), None),
+    "source_quota_cap": (_sql(_SOURCE_QUOTA_SPARK), None),
+    "mixture_sample": (_sql(_MIXTURE_SAMPLE_SPARK), None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL
@@ -3637,4 +3697,6 @@ TWIN_SQL: dict[str, str] = {
     "exact_substring_dedup": _EXACT_SUBSTR_DEDUP_DUCK,
     "pmi_collocations": _PMI_DUCK,
     "sliding_context_chunks": _CHUNKS_DUCK,
+    "source_quota_cap": _SOURCE_QUOTA_DUCK,
+    "mixture_sample": _MIXTURE_SAMPLE_DUCK,
 }
