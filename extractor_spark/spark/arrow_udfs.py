@@ -62,4 +62,34 @@ def canonical_url_udf():
     return _canon
 
 
-__all__ = ["bloom_probe_udf", "mean_vec_udf", "canonical_url_udf", "np", "pd"]
+def sanitize_text_udf():
+    """Scalar pandas UDF over Arrow batches wrapping
+    engine.textclean.sanitize_text (ftfy-lite: mojibake repair + NFC +
+    control/zero-width strip).  Returns a struct so the cleaned text and
+    both repair counters come out of ONE pass over the corpus — callers
+    project the fields they need and Catalyst prunes the rest."""
+
+    @pandas_udf("struct<clean:string, repairs:int, removed:int>")
+    def _sanitize(texts: pd.Series) -> pd.DataFrame:
+        from extractor_spark.engine.textclean import sanitize_text
+
+        out = texts.map(lambda s: sanitize_text(s if s is not None else ""))
+        return pd.DataFrame(
+            {
+                "clean": out.map(lambda t: t[0]),
+                "repairs": out.map(lambda t: t[1]).astype("int32"),
+                "removed": out.map(lambda t: t[2]).astype("int32"),
+            }
+        )
+
+    return _sanitize
+
+
+__all__ = [
+    "bloom_probe_udf",
+    "mean_vec_udf",
+    "canonical_url_udf",
+    "sanitize_text_udf",
+    "np",
+    "pd",
+]

@@ -3566,6 +3566,49 @@ ORDER BY r.lang, lang_rank
 """
 _MIXTURE_SAMPLE_DUCK = _MIXTURE_SAMPLE_SPARK.replace("AS STRING", "AS VARCHAR")
 
+# Dirty documents planted into unicode_sanitize_stats so every damage class
+# the sanitizer handles (single + double mojibake, C0/C1 controls,
+# zero-width chars, BOM, replacement char, denormalized NFC forms) fires at
+# driver-run time on every SF — the real testdata corpus is clean ASCII.
+_PLANTED_DIRTY = [
+    "the companyâ€™s results â€” strong",  # cp1252 mojibake of ’ and —
+    "rÃ©sumÃ© for MÃ¼ller",  # latin-1 mojibake of résumé / Müller
+    "Ã¢â‚¬Å“quotedÃ¢â‚¬Â twice",  # DOUBLE mojibake of “quoted”
+    "null\x00 byte and\x07 bell\x1b[0m escape",  # C0 controls
+    "zero​width‍ joiners ﻿BOM �",  # Cf + replacement
+    "cafe\u0301 combining acute",  # NFC-denormalized e + U+0301
+]
+
+
+def _unicode_sanitize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode sanitation pass (ftfy-lite: conservative mojibake repair +
+    NFC + control/zero-width strip — engine/textclean.py) over the
+    documents corpus plus six planted dirty docs (negative doc_ids) so
+    the repair path provably fires at driver-run time on every SF.  ONE
+    Arrow stage over ONE corpus scan (struct-returning pandas UDF, fields
+    projected after), map-only: zero shuffles — embarrassingly parallel
+    at 100×.  Rows-only; hand-computed goldens, hypothesis idempotence,
+    and Spark≡engine byte equality are pinned in tests/test_textclean.py."""
+    from pyspark.sql import functions as F
+
+    from .arrow_udfs import sanitize_text_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [(-(i + 1), t) for i, t in enumerate(_PLANTED_DIRTY)],
+        "doc_id bigint, text string",
+    )
+    san = docs.unionByName(planted).withColumn(
+        "s", sanitize_text_udf()(F.col("text"))
+    )
+    return san.select(
+        "doc_id",
+        F.length("s.clean").cast("bigint").alias("clean_n_chars"),
+        F.col("s.repairs").cast("bigint").alias("n_mojibake_repairs"),
+        F.col("s.removed").cast("bigint").alias("n_chars_removed"),
+        (F.col("s.clean") != F.col("text")).alias("changed"),
+    ).orderBy("doc_id")
+
 
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
@@ -3676,6 +3719,7 @@ QUERIES: dict[str, tuple] = {
     "sliding_context_chunks": (_sql(_CHUNKS_SPARK), None),
     "source_quota_cap": (_sql(_SOURCE_QUOTA_SPARK), None),
     "mixture_sample": (_sql(_MIXTURE_SAMPLE_SPARK), None),
+    "unicode_sanitize_stats": (_unicode_sanitize_stats, None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL
