@@ -3610,6 +3610,32 @@ def _unicode_sanitize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with exact rerank (spark/pq.py): train m=8 ×
+    k=64 codebooks on a seeded bounded sample, encode the corpus in ONE
+    map-only Arrow pass (8 small ints per 64-dim vector), scan the codes
+    JVM-side by asymmetric distance (the query's LUT is an array literal;
+    the shortlist scan touches no corpus floats, ends in TakeOrdered),
+    then exact-cosine rerank ONLY the 80-candidate shortlist via a
+    broadcast join.  The IVF-PQ memory-scale path: at 100 TB the codes
+    fit in cluster memory while raw vectors stay on disk, and recall
+    depends only on shortlist containment, not ADC ordering.  Rows-only
+    (k-means not SQL-expressible); gates in tests/test_pq.py: exact numpy
+    reconstruction twin for every ADC score, independent nested-loop
+    encoder twin, recall@10 floor vs the exact cosine oracle, and a
+    no-Python/no-Exchange plan pin on the code scan."""
+    from .pq import encode, pq_search, train_pq
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    codebooks = train_pq(emb)
+    codes = encode(emb, codebooks)
+    query = spark.sql("SELECT embedding FROM embeddings WHERE vec_id = 0").first()
+    return pq_search(
+        emb, codes, codebooks, query["embedding"], topk=10, exclude_vec_id=0
+    )
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     #
@@ -3720,6 +3746,7 @@ QUERIES: dict[str, tuple] = {
     "source_quota_cap": (_sql(_SOURCE_QUOTA_SPARK), None),
     "mixture_sample": (_sql(_MIXTURE_SAMPLE_SPARK), None),
     "unicode_sanitize_stats": (_unicode_sanitize_stats, None),
+    "pq_topk": (_pq_topk, None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL
