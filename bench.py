@@ -355,6 +355,10 @@ def main() -> None:
         "exact_substring_dedup",
         "pmi_collocations",
         "sliding_context_chunks",
+        "source_quota_cap",
+        "mixture_sample",
+        "unicode_sanitize_stats",
+        "pq_topk",
     ]
     from extractor_spark.spark.queries import release_query_caches
 
