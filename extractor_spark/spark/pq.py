@@ -82,12 +82,16 @@ def train_pq(
             pad = cents[rng.integers(0, len(cents), k - len(cents))]
             cents = np.vstack([cents, pad + rng.normal(0, 1e-3, pad.shape)])
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # same ||s-c||² = ||c||² - 2 s·c argmin trick as encode(): the
+            # broadcast-subtraction form allocates a (n, k, dsub) temporary
+            # (~67 MB/iter here) and dominated train time ~10:1
+            d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (sub @ cents.T)
             assign = d2.argmin(axis=1)
-            for g in range(k):
-                grp = sub[assign == g]
-                if len(grp):
-                    cents[g] = grp.mean(axis=0)
+            counts = np.bincount(assign, minlength=k)
+            sums = np.zeros((k, dsub))
+            np.add.at(sums, assign, sub)
+            nz = counts > 0
+            cents[nz] = sums[nz] / counts[nz, None]
         codebooks[j] = cents
     return codebooks
 
