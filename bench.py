@@ -359,6 +359,7 @@ def main() -> None:
         "mixture_sample",
         "unicode_sanitize_stats",
         "pq_topk",
+        "decontaminate_spans",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

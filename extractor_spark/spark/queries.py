@@ -2355,6 +2355,89 @@ ORDER BY g.doc_id
 """
 
 
+# Span-level decontamination (the GPT-3 appendix-C REMOVAL variant: GPT-3
+# did not drop contaminated training docs wholesale — it removed a window
+# around each benchmark-colliding 13-gram and kept the rest of the page.
+# Here: 8-word-grams against the doc_id<10 benchmark set — the same
+# contamination convention as decontaminate_docs / bloom_decontaminate /
+# ngram_decontaminate, so all four variants are directly comparable — and
+# each colliding occurrence is removed together with a 2-token pad on each
+# side, clipped to the document; overlapping windows union through a
+# distinct covered-index set (the exact_substring_dedup rebuild machinery).
+# Output is the CONTAMINATED training docs only, with the cleaned text.
+#
+# Scale shape: identical to ngram_decontaminate's find step (benchmark
+# grams distinct to a small broadcastable table, corpus grams stream
+# through the join un-materialized) plus ONE doc_id shuffle for the
+# covered-set union and a map-side rebuild — no pair joins, no windows.
+_DECON_SPANS_SPARK = """
+WITH toks AS (
+  SELECT doc_id, split(trim(text), '\\\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT doc_id, i AS pos, size(w) AS n,
+         concat_ws(' ', slice(w, i, 8)) AS gram
+  FROM toks LATERAL VIEW explode(sequence(1, size(w) - 7)) x AS i
+  WHERE size(w) >= 8
+),
+contam AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id < 10
+),
+covered AS (
+  SELECT g.doc_id, collect_set(idx) AS drop_idx
+  FROM grams g
+  JOIN contam c ON g.gram = c.gram
+  LATERAL VIEW explode(sequence(greatest(1, g.pos - 2),
+                                least(g.n, g.pos + 9))) z AS idx
+  WHERE g.doc_id >= 10
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       CAST(size(t.w) AS BIGINT) AS n_tokens,
+       CAST(size(c.drop_idx) AS BIGINT) AS n_dropped,
+       concat_ws(' ', transform(
+         filter(sequence(1, size(t.w)),
+                i -> NOT array_contains(c.drop_idx, i)),
+         i -> element_at(t.w, i))) AS clean_text
+FROM toks t JOIN covered c ON t.doc_id = c.doc_id
+ORDER BY t.doc_id
+"""
+_DECON_SPANS_DUCK = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT doc_id, i AS pos, len(w) AS n,
+         array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        FROM toks WHERE len(w) >= 8)
+),
+contam AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id < 10
+),
+covered AS (
+  SELECT doc_id, list(DISTINCT idx) AS drop_idx
+  FROM (SELECT g.doc_id, unnest(generate_series(greatest(1, g.pos - 2),
+                                                least(g.n, g.pos + 9))) AS idx
+        FROM grams g
+        JOIN contam c ON g.gram = c.gram
+        WHERE g.doc_id >= 10)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(len(c.drop_idx) AS BIGINT) AS n_dropped,
+       coalesce(array_to_string(list_transform(
+         list_filter(generate_series(1, len(t.w)),
+                     i -> NOT list_contains(c.drop_idx, i)),
+         i -> t.w[i]), ' '), '') AS clean_text
+FROM toks t JOIN covered c ON t.doc_id = c.doc_id
+ORDER BY t.doc_id
+"""
+
+
 # SparkER-style meta-blocking (Simonini et al., "Schema-agnostic vs
 # schema-based configurations for blocking methods on homogeneous data",
 # VLDB 2019 / SparkER EDBT 2019 demo): treat MinHash LSH buckets as blocks,
@@ -3747,6 +3830,7 @@ QUERIES: dict[str, tuple] = {
     "mixture_sample": (_sql(_MIXTURE_SAMPLE_SPARK), None),
     "unicode_sanitize_stats": (_unicode_sanitize_stats, None),
     "pq_topk": (_pq_topk, None),
+    "decontaminate_spans": (_sql(_DECON_SPANS_SPARK), None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL
@@ -3770,4 +3854,5 @@ TWIN_SQL: dict[str, str] = {
     "sliding_context_chunks": _CHUNKS_DUCK,
     "source_quota_cap": _SOURCE_QUOTA_DUCK,
     "mixture_sample": _MIXTURE_SAMPLE_DUCK,
+    "decontaminate_spans": _DECON_SPANS_DUCK,
 }

@@ -755,3 +755,50 @@ def test_sliding_context_chunks_semantics(spark):
         for a, b, c, d, _t in con.execute(_CHUNKS_DUCK).fetchall()
     ]
     assert duck == want
+
+
+def test_decontaminate_spans_semantics(spark):
+    """GPT-3 appendix-C window removal pinned on a crafted corpus: each
+    benchmark-colliding 8-gram occurrence is removed with a 2-token pad on
+    each side, clipped at document edges; separated occurrences in one doc
+    union their windows; a paraphrase sharing no 8-gram is untouched (and
+    absent — the output is contaminated docs only); benchmark docs
+    (doc_id < 10) never appear; both dialects agree."""
+    import duckdb as _duckdb
+    import pandas as pd
+
+    from extractor_spark.spark.queries import (
+        _DECON_SPANS_DUCK,
+        _DECON_SPANS_SPARK,
+    )
+
+    bench = " ".join(f"b{i}" for i in range(1, 10))  # b1..b9: grams b1..b8, b2..b9
+    g8 = " ".join(f"b{i}" for i in range(1, 9))      # b1..b8
+    rows = [
+        (1, bench),                                   # benchmark set
+        (10, "t1 t2 t3 t4 " + g8 + " t5 t6 t7 t8"),   # interior: pad reaches 3..14
+        (11, g8 + " x1 x2 x3"),                       # left clip: covered 1..10
+        (12, "y1 y2 y3 " + g8),                       # right clip: covered 2..11
+        (14, g8 + " m1 m2 m3 m4 m5 m6 " + g8),        # separated: 1..10 and 13..22
+        (15, "b1 b2 b3 b4 b5 b6 b7 DIFF b9 tail"),    # paraphrase: no shared 8-gram
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dropped"], r["clean_text"])
+        for r in spark.sql(_DECON_SPANS_SPARK).collect()
+    }
+    assert got == {
+        10: (16, 12, "t1 t2 t7 t8"),
+        11: (11, 10, "x3"),
+        12: (11, 10, "y1"),
+        14: (22, 20, "m3 m4"),
+    }, got
+
+    con = _duckdb.connect()
+    con.register("documents", pdf)
+    duck = {
+        d: (int(nt), int(nd), tx)
+        for d, nt, nd, tx in con.execute(_DECON_SPANS_DUCK).fetchall()
+    }
+    assert duck == got
