@@ -360,6 +360,7 @@ def main() -> None:
         "unicode_sanitize_stats",
         "pq_topk",
         "decontaminate_spans",
+        "d4_prototypes_prune",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

@@ -1814,6 +1814,72 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# D4-style SSL-prototypes pruning (Tirumala et al. 2023, "D4: Improving
+# LLM Pretraining via Document De-Duplication and Diversification" —
+# public): after SemDeDup removes near-duplicates, D4 drops the most
+# PROTOTYPICAL examples per k-means cluster (the points closest to their
+# own centroid carry the least marginal information; the diverse tail is
+# kept).  Here: assign every embedding to its IVF cell and compute the
+# cosine to its OWN centroid in ONE Arrow pass (integer-micro fixed point
+# so the numpy twin is exact), then drop the top ceil(25%) per cell by
+# (cos desc, vec_id asc).  Output keeps every row with a `kept` flag.
+#
+# Scale shape: one map-only scoring pass + one cell-keyed window sort.
+# Over the cell-partitioned IVF index (spark/ivf.py build_index) the sort
+# is partition-local — no shuffle at all; here cells are a temp column so
+# it costs the one Exchange.  Driver state is the k×d centroid matrix.
+_D4_PRUNE_FRACTION = 0.25
+_D4_PRUNE_SQL = """
+WITH ranked AS (
+  SELECT vec_id, cell, cos_micro,
+         ROW_NUMBER() OVER (PARTITION BY cell
+                            ORDER BY cos_micro DESC, vec_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY cell) AS n_cell
+  FROM d4_scored
+)
+SELECT vec_id, cell, cos_micro,
+       CAST(n_cell AS BIGINT) AS n_cell,
+       rn > CAST(ceil(n_cell * {frac}) AS BIGINT) AS kept
+FROM ranked
+ORDER BY vec_id
+"""
+
+
+def _d4_prototypes_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    c = _ivf_centroids(spark)
+
+    def score(batches, c=c):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            xn = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
+            sims = xn @ c.T
+            cell = sims.argmax(axis=1)
+            cos = sims[np.arange(len(x)), cell]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cell.astype("int32"),
+                    "cos_micro": np.rint(cos * 1e6).astype("int64"),
+                }
+            )
+
+    scored = (
+        spark.table("embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(score, schema="vec_id bigint, cell int, cos_micro bigint")
+    )
+    scored.createOrReplaceTempView("d4_scored")
+    return spark.sql(_D4_PRUNE_SQL.format(frac=_D4_PRUNE_FRACTION))
+
+
 _MEAN_EMB_ORACLE = """
 WITH joined AS (
   SELECT d.lang, CAST(e.embedding AS DOUBLE[]) AS emb
@@ -3831,6 +3897,7 @@ QUERIES: dict[str, tuple] = {
     "unicode_sanitize_stats": (_unicode_sanitize_stats, None),
     "pq_topk": (_pq_topk, None),
     "decontaminate_spans": (_sql(_DECON_SPANS_SPARK), None),
+    "d4_prototypes_prune": (_d4_prototypes_prune, None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL

@@ -802,3 +802,76 @@ def test_decontaminate_spans_semantics(spark):
         for d, nt, nd, tx in con.execute(_DECON_SPANS_DUCK).fetchall()
     }
     assert duck == got
+
+
+def test_d4_prototypes_prune_matches_numpy_twin(spark):
+    """D4 SSL-prototypes pruning: the full output (cell assignment,
+    integer-micro own-centroid cosine, per-cell prototypicality rank cut)
+    recomputed by an independent numpy twin over the SAME deterministic
+    centroid matrix — exact equality on every row.  Plus the semantics
+    pins: per cell exactly ceil(25%) dropped, and the single most
+    prototypical vector of every cell is always among the dropped."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from extractor_spark.spark.queries import (
+        _D4_PRUNE_FRACTION,
+        _ivf_centroids,
+        _views,
+        QUERIES,
+    )
+
+    got = (
+        QUERIES["d4_prototypes_prune"][0](spark, SF_DIR)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    # ---- independent twin: same centroids, numpy end-to-end ----
+    _views(spark, SF_DIR)
+    c = _ivf_centroids(spark)  # deterministic (seeded sample, fixed input)
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    tbl = tbl.sort_values("vec_id").reset_index(drop=True)
+    x = np.array([np.asarray(v, dtype=np.float64) for v in tbl["embedding"]])
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    sims = xn @ c.T
+    cell = sims.argmax(axis=1)
+    cos_micro = np.rint(sims[np.arange(len(x)), cell] * 1e6).astype("int64")
+    twin = pd.DataFrame(
+        {"vec_id": tbl["vec_id"].astype("int64"), "cell": cell, "cos_micro": cos_micro}
+    )
+    twin["n_cell"] = twin.groupby("cell")["vec_id"].transform("size").astype("int64")
+    twin = twin.sort_values(
+        ["cell", "cos_micro", "vec_id"], ascending=[True, False, True]
+    )
+    twin["rn"] = twin.groupby("cell").cumcount() + 1
+    twin["kept"] = twin["rn"] > np.ceil(twin["n_cell"] * _D4_PRUNE_FRACTION)
+    twin = twin.sort_values("vec_id").reset_index(drop=True)
+
+    assert len(got) == len(twin) == len(tbl)
+    for col in ("vec_id", "cell", "cos_micro", "n_cell", "kept"):
+        assert (got[col].to_numpy() == twin[col].to_numpy()).all(), col
+
+    # ---- semantics pins ----
+    per_cell = got.groupby("cell").agg(
+        n=("vec_id", "size"), dropped=("kept", lambda k: int((~k).sum()))
+    )
+    for _, r in per_cell.iterrows():
+        assert r["dropped"] == math.ceil(r["n"] * _D4_PRUNE_FRACTION)
+    # the most prototypical row of every cell is always dropped
+    top = got.sort_values(
+        ["cell", "cos_micro", "vec_id"], ascending=[True, False, True]
+    ).groupby("cell").head(1)
+    assert not top["kept"].any()
+
+
+def test_d4_prototypes_prune_deterministic(spark):
+    from extractor_spark.spark.queries import QUERIES
+
+    a = QUERIES["d4_prototypes_prune"][0](spark, SF_DIR).collect()
+    b = QUERIES["d4_prototypes_prune"][0](spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
