@@ -361,6 +361,7 @@ def main() -> None:
         "pq_topk",
         "decontaminate_spans",
         "d4_prototypes_prune",
+        "dup_cluster_canonical",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

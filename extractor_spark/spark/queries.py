@@ -1047,6 +1047,66 @@ def _dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
 
 
+# Canonical-document selection per duplicate cluster — the decision step
+# after candidates → verify → components: which copy SURVIVES dedup.
+# Policy: keep the longest text (quality proxy used by several public
+# pipelines; RefinedWeb keeps one arbitrary copy, Dolma keeps the first
+# seen — longest is deterministic AND content-aware), tiebreak min doc_id.
+# Output: one row per MULTI-member cluster.  Scale shape: the components
+# are already computed (one lazy-checkpoint loop); the pick is one
+# cluster-keyed top-1 window (partial+final WindowGroupLimit — top-1 per
+# key leaves each map task, never the full membership).
+_DUP_CANONICAL_PICK = """
+WITH members AS (
+  SELECT l.cluster_id, l.doc_id, length(d.text) AS n_chars
+  FROM dup_labels l JOIN documents d ON l.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT cluster_id, doc_id, n_chars,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM members
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(doc_id AS BIGINT) AS canonical_doc_id,
+       CAST(n_chars AS BIGINT) AS canonical_chars
+FROM ranked WHERE rn = 1 AND n_members >= 2
+ORDER BY cluster_id
+"""
+_DUP_CANONICAL_ORACLE = """
+WITH clusters AS ({clusters}),
+members AS (
+  SELECT l.cluster_id, l.doc_id, length(d.text) AS n_chars
+  FROM clusters l JOIN documents d ON l.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT cluster_id, doc_id, n_chars,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM members
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(doc_id AS BIGINT) AS canonical_doc_id,
+       CAST(n_chars AS BIGINT) AS canonical_chars
+FROM ranked WHERE rn = 1 AND n_members >= 2
+ORDER BY cluster_id
+""".format(clusters=_DEDUP_CLUSTERS_ORACLE)
+
+
+def _dup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from extractor_spark.spark.graph import star_components
+
+    _views(spark, sf_dir)
+    pairs = spark.sql(_JACCARD_SPARK).selectExpr("d1 AS src", "d2 AS dst")
+    labels = star_components(spark.table("documents"), pairs, "doc_id")
+    labels.createOrReplaceTempView("dup_labels")
+    return spark.sql(_DUP_CANONICAL_PICK)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over `embeddings`
 # ---------------------------------------------------------------------------
@@ -3898,6 +3958,7 @@ QUERIES: dict[str, tuple] = {
     "pq_topk": (_pq_topk, None),
     "decontaminate_spans": (_sql(_DECON_SPANS_SPARK), None),
     "d4_prototypes_prune": (_d4_prototypes_prune, None),
+    "dup_cluster_canonical": (_dup_cluster_canonical, None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL
@@ -3922,4 +3983,5 @@ TWIN_SQL: dict[str, str] = {
     "source_quota_cap": _SOURCE_QUOTA_DUCK,
     "mixture_sample": _MIXTURE_SAMPLE_DUCK,
     "decontaminate_spans": _DECON_SPANS_DUCK,
+    "dup_cluster_canonical": _DUP_CANONICAL_ORACLE,
 }
