@@ -3466,13 +3466,28 @@ ORDER BY source
 # bm25_topk, the float pmi is rounded to 4 decimals in BOTH dialects
 # before the sort so libm ulp differences cannot reorder the top-k; the
 # exact integer counts ride along for downstream use.
+# Spark side is a callable (not pure SQL): the unigram-count table is
+# VOCAB-sized, and inline CTEs re-evaluate per consumer — as SQL, `uni`
+# was rebuilt three times (ux join, uy join, n_uni total), i.e. three full
+# corpus tokenize+groupBy passes for one vocab table.  Persisting the
+# vocab-sized aggregate replaces them with 3 InMemoryTableScans.  Local
+# measurement at sf0.1 is a wash (best-of-3: 1.5 s inline vs 1.8 s
+# persisted — the cache-materialization barrier costs about what the
+# redundant 5k-doc re-aggregation saves, within host variance); the
+# persisted form is kept because the inline form's cost is 3 FULL corpus
+# tokenize passes, which is what grows at 100 TB while the persist stays
+# O(vocab).  The DuckDB twin keeps the single-statement form.
+_PMI_UNI_SQL = """
+SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+FROM (SELECT split(trim(lower(text)), '\\\\s+') AS t FROM documents)
+LATERAL VIEW explode(t) u AS w
+GROUP BY w
+"""
 _PMI_SPARK = """
 WITH toks AS (
   SELECT split(trim(lower(text)), '\\\\s+') AS t FROM documents
 ), uni AS (
-  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
-  FROM toks LATERAL VIEW explode(t) u AS w
-  GROUP BY w
+  SELECT w, c FROM pmi_uni
 ), nu AS (
   SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni
 ), big AS (
@@ -3532,6 +3547,15 @@ CROSS JOIN nu n CROSS JOIN nb m
 ORDER BY pmi_r4 DESC, b.w1, b.w2
 LIMIT 50
 """
+
+
+def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    uni = spark.sql(_PMI_UNI_SQL).persist()
+    caches.register(uni)
+    uni.createOrReplaceTempView("pmi_uni")
+    return spark.sql(_PMI_SPARK)
+
 
 # Sliding context windows (RAG / long-context chunking): each document is
 # cut into windows of 32 tokens with stride 24 (25% overlap), the standard
@@ -3950,7 +3974,7 @@ QUERIES: dict[str, tuple] = {
     "bm25_topk": (_sql(_BM25_SPARK), None),
     "feed_frontier": (_feed_frontier, None),
     "exact_substring_dedup": (_sql(_EXACT_SUBSTR_DEDUP_SPARK), None),
-    "pmi_collocations": (_sql(_PMI_SPARK), None),
+    "pmi_collocations": (_pmi_collocations, None),
     "sliding_context_chunks": (_sql(_CHUNKS_SPARK), None),
     "source_quota_cap": (_sql(_SOURCE_QUOTA_SPARK), None),
     "mixture_sample": (_sql(_MIXTURE_SAMPLE_SPARK), None),
