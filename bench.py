@@ -362,6 +362,7 @@ def main() -> None:
         "decontaminate_spans",
         "d4_prototypes_prune",
         "dup_cluster_canonical",
+        "source_drift_kl",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

@@ -3590,6 +3590,78 @@ FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 1), 24)) 
 ORDER BY doc_id, chunk_id
 """
 
+# Per-source distribution drift: KL(P_source ‖ P_corpus) over unigram
+# distributions — the monitoring statistic mixture pipelines watch to
+# catch a source whose content shifted (scraper broke, spam flood,
+# template change) before it pollutes a training mix.  The corpus
+# distribution is derived FROM the per-source count table (one corpus
+# tokenize pass total); every downstream join/agg is vocab-sized.  KL is
+# well-defined without smoothing because each source's vocabulary is a
+# subset of the corpus vocabulary by construction.  Rounded to 4 dp in
+# both dialects so summation-order ulps can't differ (BM25 precedent).
+#
+# Spark side is a callable persisting the vocab×source count table
+# (the PMI rationale: inline CTEs re-evaluate per consumer, and sc has
+# three consumers — the KL join, the corpus distribution, the per-source
+# totals; persist is O(vocab×sources), the re-evaluations are full
+# corpus passes).
+_SOURCE_KL_SC_SQL = """
+SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+FROM (SELECT source, split(trim(lower(text)), '\\\\s+') AS t FROM documents)
+LATERAL VIEW explode(t) u AS w
+GROUP BY source, w
+"""
+_SOURCE_KL_SPARK = """
+WITH sc AS (SELECT source, w, c FROM source_kl_sc),
+stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sc GROUP BY source),
+cc AS (SELECT w, CAST(SUM(c) AS BIGINT) AS c FROM sc GROUP BY w),
+ctot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cc)
+SELECT s.source,
+       stot.n AS n_tokens,
+       CAST(round(SUM((CAST(s.c AS DOUBLE) / CAST(stot.n AS DOUBLE))
+                * ln((CAST(s.c AS DOUBLE) / CAST(stot.n AS DOUBLE))
+                     / (CAST(g.c AS DOUBLE) / CAST(ctot.n AS DOUBLE)))), 4)
+            AS DOUBLE) AS kl_r4
+FROM sc s
+JOIN stot ON s.source = stot.source
+JOIN cc g ON s.w = g.w
+CROSS JOIN ctot
+GROUP BY s.source, stot.n
+ORDER BY s.source
+"""
+_SOURCE_KL_DUCK = """
+WITH sc AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+  GROUP BY source, w
+),
+stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sc GROUP BY source),
+cc AS (SELECT w, CAST(SUM(c) AS BIGINT) AS c FROM sc GROUP BY w),
+ctot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cc)
+SELECT s.source,
+       stot.n AS n_tokens,
+       CAST(round(SUM((CAST(s.c AS DOUBLE) / CAST(stot.n AS DOUBLE))
+                * ln((CAST(s.c AS DOUBLE) / CAST(stot.n AS DOUBLE))
+                     / (CAST(g.c AS DOUBLE) / CAST(ctot.n AS DOUBLE)))), 4)
+            AS DOUBLE) AS kl_r4
+FROM sc s
+JOIN stot ON s.source = stot.source
+JOIN cc g ON s.w = g.w
+CROSS JOIN ctot
+GROUP BY s.source, stot.n
+ORDER BY s.source
+"""
+
+
+def _source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    sc_df = spark.sql(_SOURCE_KL_SC_SQL).persist()
+    caches.register(sc_df)
+    sc_df.createOrReplaceTempView("source_kl_sc")
+    return spark.sql(_SOURCE_KL_SPARK)
+
+
 # BM25 top-k retrieval (Robertson/Sparck-Jones probabilistic ranking,
 # k1=1.2, b=0.75, the Lucene-style idf = ln(1 + (N-df+0.5)/(df+0.5)) which
 # is always positive) for a fixed 4-term query over the documents corpus.
@@ -3983,6 +4055,7 @@ QUERIES: dict[str, tuple] = {
     "decontaminate_spans": (_sql(_DECON_SPANS_SPARK), None),
     "d4_prototypes_prune": (_d4_prototypes_prune, None),
     "dup_cluster_canonical": (_dup_cluster_canonical, None),
+    "source_drift_kl": (_source_drift_kl, None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL
@@ -4008,4 +4081,5 @@ TWIN_SQL: dict[str, str] = {
     "mixture_sample": _MIXTURE_SAMPLE_DUCK,
     "decontaminate_spans": _DECON_SPANS_DUCK,
     "dup_cluster_canonical": _DUP_CANONICAL_ORACLE,
+    "source_drift_kl": _SOURCE_KL_DUCK,
 }

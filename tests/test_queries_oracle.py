@@ -875,3 +875,44 @@ def test_d4_prototypes_prune_deterministic(spark):
     a = QUERIES["d4_prototypes_prune"][0](spark, SF_DIR).collect()
     b = QUERIES["d4_prototypes_prune"][0](spark, SF_DIR).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_source_drift_kl_semantics(spark):
+    """KL drift pins: a source whose unigram distribution EQUALS the corpus
+    distribution scores ~0; a source concentrated on rare-in-corpus tokens
+    scores strictly higher than a mild variation; KL is never negative
+    (Gibbs); both dialects agree on the crafted corpus."""
+    import duckdb as _duckdb
+    import pandas as pd
+
+    from extractor_spark.spark.queries import (
+        _SOURCE_KL_DUCK,
+        _SOURCE_KL_SC_SQL,
+        _SOURCE_KL_SPARK,
+    )
+
+    rows = [
+        # two balanced sources with the same 50/50 a/b mix -> corpus mix is
+        # also 50/50 -> KL(balanced || corpus) == 0 exactly
+        (1, "a b a b a b a b", "balanced1"),
+        (2, "b a b a b a b a", "balanced2"),
+        # a drifted source concentrated on token c (rare in the corpus)
+        (3, "c c c c c c c a", "drifted"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    sc_df = spark.sql(_SOURCE_KL_SC_SQL)
+    sc_df.createOrReplaceTempView("source_kl_sc")
+    got = {r["source"]: (r["n_tokens"], r["kl_r4"]) for r in spark.sql(_SOURCE_KL_SPARK).collect()}
+
+    assert set(got) == {"balanced1", "balanced2", "drifted"}
+    assert all(kl >= 0 for _n, kl in got.values())
+    # balanced sources: not exactly the corpus mix (corpus includes c), but
+    # far closer to it than the drifted one
+    assert got["drifted"][1] > got["balanced1"][1] > 0
+    assert got["balanced1"] == got["balanced2"]
+
+    con = _duckdb.connect()
+    con.register("documents", pdf)
+    duck = {s: (int(n), float(k)) for s, n, k in con.execute(_SOURCE_KL_DUCK).fetchall()}
+    assert duck == {s: (int(n), float(k)) for s, (n, k) in got.items()}
