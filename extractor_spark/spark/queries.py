@@ -1905,9 +1905,11 @@ ORDER BY vec_id
 """
 
 
-def _d4_prototypes_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir)
-    c = _ivf_centroids(spark)
+def _d4_score(emb: DataFrame, centroids) -> DataFrame:
+    """(vec_id, cell, cos_micro): own-centroid assignment + integer-micro
+    cosine in one Arrow GEMM pass (shared by the query and the scale
+    probe, scripts/bench_new_ops_r5.py)."""
+    c = centroids
 
     def score(batches, c=c):
         import numpy as np
@@ -1931,11 +1933,15 @@ def _d4_prototypes_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scored = (
-        spark.table("embeddings")
-        .select("vec_id", "embedding")
-        .mapInPandas(score, schema="vec_id bigint, cell int, cos_micro bigint")
+    return emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="vec_id bigint, cell int, cos_micro bigint"
     )
+
+
+def _d4_prototypes_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    c = _ivf_centroids(spark)
+    scored = _d4_score(spark.table("embeddings"), c)
     scored.createOrReplaceTempView("d4_scored")
     return spark.sql(_D4_PRUNE_SQL.format(frac=_D4_PRUNE_FRACTION))
 

@@ -15,6 +15,17 @@ Per operator, what it demonstrates well past the 500-doc driver gates:
   codebook training (16384-row sample regardless of corpus size), the
   one-pass encode, and the JVM ADC shortlist + exact rerank search.
 
+Session-3 legs:
+
+- decontaminate_spans (1M tiled docs): the tiling REPLICATES the sf0.001
+  benchmark docs (doc_id<10) as training copies, so every copy fully
+  collides — ~20k contaminated docs exercise the covered-index union and
+  rebuild at three orders of magnitude past the driver gate.
+- source_drift_kl (1M docs): one tokenize pass + vocab-sized joins.
+- d4_prototypes_prune core (500k synthetic vectors): the Arrow scoring
+  pass + per-cell prototypicality window at 1000× the driver's table
+  (centroids trained on the seeded IVF sample as in the query).
+
 Usage: python scripts/bench_new_ops_r5.py [--docs 1000000]
        [--sanitize-docs 200000] [--vecs 500000]
 Writes one JSON line; redirect to BENCH/ to record.
@@ -118,6 +129,23 @@ def main() -> None:
     out["mixture_rows"] = spark.sql(_MIXTURE_SAMPLE_SPARK).count()
     out["mixture_s"] = round(time.time() - t0, 2)
 
+    from extractor_spark.spark.queries import (
+        _DECON_SPANS_SPARK,
+        _SOURCE_KL_SC_SQL,
+        _SOURCE_KL_SPARK,
+    )
+
+    t0 = time.time()
+    out["decon_spans_rows"] = spark.sql(_DECON_SPANS_SPARK).count()
+    out["decon_spans_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    sc_df = spark.sql(_SOURCE_KL_SC_SQL).persist()
+    sc_df.createOrReplaceTempView("source_kl_sc")
+    out["source_kl_rows"] = spark.sql(_SOURCE_KL_SPARK).count()
+    out["source_kl_s"] = round(time.time() - t0, 2)
+    sc_df.unpersist()
+
     from extractor_spark.spark.arrow_udfs import sanitize_text_udf
 
     san_docs = docs.filter(F.col("doc_id") < args.sanitize_docs)
@@ -151,6 +179,24 @@ def main() -> None:
     out["pq_search_s"] = round(time.time() - t0, 2)
     out["pq_top1"] = [int(top[0]["vec_id"]), float(top[0]["cos_sim"])]
     codes.unpersist()
+
+    # D4 prototypicality prune over the same synthetic vectors: bounded
+    # centroid training (10% seeded sample), then the Arrow scoring pass +
+    # per-cell window at the full 500k
+    from extractor_spark.spark.ivf import train_centroids
+    from extractor_spark.spark.queries import _D4_PRUNE_FRACTION, _D4_PRUNE_SQL, _d4_score
+
+    t0 = time.time()
+    cents = train_centroids(emb, k=16, iters=5, seed=0x1FF2024, train_fraction=0.1)
+    out["d4_train_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    _d4_score(emb, cents).createOrReplaceTempView("d4_scored")
+    pruned = spark.sql(_D4_PRUNE_SQL.format(frac=_D4_PRUNE_FRACTION))
+    stats = pruned.selectExpr(
+        "count(*) AS n", "sum(CASE WHEN kept THEN 0 ELSE 1 END) AS d"
+    ).first()
+    out["d4_rows"], out["d4_dropped"] = stats["n"], int(stats["d"])
+    out["d4_prune_s"] = round(time.time() - t0, 2)
     emb.unpersist()
 
     print(json.dumps(out))
