@@ -363,6 +363,7 @@ def main() -> None:
         "d4_prototypes_prune",
         "dup_cluster_canonical",
         "source_drift_kl",
+        "incremental_minhash_dedup",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

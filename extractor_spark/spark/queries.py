@@ -1905,6 +1905,46 @@ ORDER BY vec_id
 """
 
 
+# Incremental MinHash dedup (spark/incdedup.py): the documents table
+# replayed as 3 arrival batches (doc_id % 3) against a fresh persisted
+# band index — each batch probes the index built from strictly earlier
+# batches, then appends itself.  The per-query store is a temp dir; the
+# result is localCheckpoint'ed so the dir can be removed eagerly.
+def _incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from extractor_spark.spark.incdedup import dedup_batch
+
+    _views(spark, sf_dir)
+    docs = spark.sql(
+        "SELECT CAST(doc_id AS STRING) AS url, text, pmod(doc_id, 3) AS b"
+        " FROM documents"
+    )
+    work = tempfile.mkdtemp(prefix="incdedup_q_")
+    try:
+        outs = []
+        for b in range(3):
+            batch = docs.filter(F.col("b") == b).select("url", "text")
+            v = dedup_batch(spark, work, batch)
+            outs.append(v.withColumn("batch_idx", F.lit(b)))
+        res = outs[0].unionByName(outs[1]).unionByName(outs[2]).select(
+            F.col("url").cast("long").alias("doc_id"),
+            F.col("batch_idx").cast("int").alias("batch_idx"),
+            "is_dup",
+            F.col("dup_of").cast("long").alias("dup_of_doc"),
+        )
+        out = res.localCheckpoint(eager=True)
+        caches.register(out)
+        for o in outs:
+            o.unpersist()
+        return out.orderBy("doc_id")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _d4_score(emb: DataFrame, centroids) -> DataFrame:
     """(vec_id, cell, cos_micro): own-centroid assignment + integer-micro
     cosine in one Arrow GEMM pass (shared by the query and the scale
@@ -4062,6 +4102,7 @@ QUERIES: dict[str, tuple] = {
     "d4_prototypes_prune": (_d4_prototypes_prune, None),
     "dup_cluster_canonical": (_dup_cluster_canonical, None),
     "source_drift_kl": (_source_drift_kl, None),
+    "incremental_minhash_dedup": (_incremental_minhash_dedup, None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL
