@@ -421,6 +421,16 @@ def main() -> None:
     extras["query_rows"]["ngram_decontaminate_planted"] = n
     release_query_caches()
 
+    # the span-REMOVAL variant over the same planted dir (0 natural
+    # contamination at sf0.1, same as ngram_decontaminate): exercises the
+    # covered-index union + rebuild path at bench scale
+    fn, _oracle = QUERIES["decontaminate_spans"]
+    t0 = time.time()
+    n = fn(spark, aug_dir).count()
+    timings["decontaminate_spans_planted"] = round(time.time() - t0, 3)
+    extras["query_rows"]["decontaminate_spans_planted"] = n
+    release_query_caches()
+
     extras["contention_probe_s"]["post_suite"] = _contention_probe()
     extras["bandwidth_probe_gbps"]["post_suite"] = _bandwidth_probe()
 
