@@ -225,3 +225,62 @@ def streaming_dedup(
     )
     q.awaitTermination()
     return spark.read.parquet(verdicts_dir)
+
+
+def streaming_source_counts(
+    spark: SparkSession,
+    docs_stream_dir: str,
+    work_dir: str,
+) -> DataFrame:
+    """Incremental per-(source, token) counts over a stream of (source,
+    text) docs — the maintained statistic behind source_drift_kl (corpus
+    monitoring at ingest time).  Counts are ASSOCIATIVE, so merging each
+    microbatch's partial counts into the store by summation converges to
+    exactly the batch aggregation regardless of chunking — the same
+    argument as merge_frontier_store's argmax (frontier.py), with sum in
+    place of argmax.  Store swap is write-next → atomic rename, as there.
+
+    Returns the final (source, w, c) store; feeding it to the
+    source_drift_kl SQL gives bit-identical KL to the batch query
+    (pinned in tests/test_incremental_dedup.py)."""
+    import shutil
+
+    store_dir = os.path.join(work_dir, "srccnt_store")
+    ckpt_dir = os.path.join(work_dir, "srccnt_ckpt")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        inc = (
+            batch_df.selectExpr(
+                "source", "explode(split(trim(lower(text)), '\\\\s+')) AS w"
+            )
+            .groupBy("source", "w")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+        if os.path.isdir(store_dir):
+            merged = (
+                spark.read.parquet(store_dir)
+                .unionByName(inc)
+                .groupBy("source", "w")
+                .agg(F.sum("c").cast("bigint").alias("c"))
+            )
+        else:
+            merged = inc
+        tmp_dir = f"{store_dir}.next{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        if os.path.isdir(store_dir):
+            shutil.rmtree(store_dir)
+        os.rename(tmp_dir, store_dir)
+
+    stream = (
+        spark.readStream.schema("source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(store_dir)

@@ -149,3 +149,41 @@ def test_streaming_equals_batch_loop(spark, tmp_path):
     out = streaming_dedup(spark, stream_dir, os.path.join(str(tmp_path), "work"))
     stream_rows = {r["url"]: (r["is_dup"], r["dup_of"]) for r in out.collect()}
     assert stream_rows == batch_rows
+
+
+def test_streaming_source_counts_match_batch_and_kl(spark, tmp_path):
+    """Counts are associative: the streamed (source, w, c) store equals the
+    one-shot batch aggregation exactly, and feeding the store to the KL
+    SQL reproduces the batch source_drift_kl rows bit-for-bit."""
+    from extractor_spark.spark.incdedup import streaming_source_counts
+    from extractor_spark.spark.queries import _SOURCE_KL_SC_SQL, _SOURCE_KL_SPARK, _views
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "source", "text", "pmod(doc_id, 3) AS b"
+    )
+    stream_dir = os.path.join(str(tmp_path), "docs_stream")
+    os.makedirs(stream_dir)
+    for b in range(3):
+        part_dir = os.path.join(str(tmp_path), f"part{b}")
+        docs.filter(F.col("b") == b).select("source", "text").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        shutil.copy(
+            os.path.join(part_dir, src), os.path.join(stream_dir, f"chunk_{b}.parquet")
+        )
+
+    store = streaming_source_counts(spark, stream_dir, os.path.join(str(tmp_path), "w"))
+
+    _views(spark, SF_DIR)
+    batch_counts = spark.sql(_SOURCE_KL_SC_SQL)
+    got = {(r["source"], r["w"]): r["c"] for r in store.collect()}
+    want = {(r["source"], r["w"]): r["c"] for r in batch_counts.collect()}
+    assert got == want
+
+    # KL from the streamed store == the batch query rows exactly
+    batch_counts.createOrReplaceTempView("source_kl_sc")
+    batch_kl = {tuple(r) for r in spark.sql(_SOURCE_KL_SPARK).collect()}
+    store.createOrReplaceTempView("source_kl_sc")
+    stream_kl = {tuple(r) for r in spark.sql(_SOURCE_KL_SPARK).collect()}
+    assert stream_kl == batch_kl
