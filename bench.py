@@ -364,6 +364,7 @@ def main() -> None:
         "dup_cluster_canonical",
         "source_drift_kl",
         "incremental_minhash_dedup",
+        "crawl_revisit_schedule",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

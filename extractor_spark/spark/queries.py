@@ -117,6 +117,79 @@ FROM (
 ) s
 """
 
+# Crawl revisit scheduling (Cho & Garcia-Molina 2003, "Effective page
+# refresh policies for Web crawlers" — public): estimate each page's
+# change rate from its observation history and derive the next fetch
+# time.  Pages = user_id keys (the crawl_delta convention), fingerprint =
+# md5(props); a CHANGE is a consecutive-observation fingerprint
+# transition (lag window).  Revisit interval = observed span DIV changes
+# (the uniform-change-rate estimator's mean inter-change time); a page
+# never observed changing backs off to 2× its span.  All arithmetic is
+# BIGINT epoch-micros — no floats, so the DuckDB twin is exact.  Pages
+# with a single observation carry no evidence and are excluded.
+#
+# Scale shape: ONE user_id shuffle serving both the lag window and the
+# aggregation (same partitioning, no second Exchange); output is one row
+# per page.  Against a stored crawl manifest this is the recurring
+# scheduling pass that decides each URL's place in the next frontier.
+_REVISIT_SPARK = """
+WITH obs AS (
+  SELECT user_id,
+         unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us,
+         md5(coalesce(props, '')) AS fp,
+         lag(md5(coalesce(props, ''))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_fp
+  FROM events
+),
+per_page AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(CASE WHEN prev_fp IS NOT NULL AND fp <> prev_fp
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us,
+         CAST(max(ts_us) AS BIGINT) AS last_us
+  FROM obs GROUP BY user_id
+)
+SELECT user_id, n_obs, n_changes, span_us,
+       CAST(CASE WHEN n_changes = 0 THEN span_us * 2
+                 ELSE span_us DIV n_changes END AS BIGINT) AS revisit_us,
+       CAST(last_us + CASE WHEN n_changes = 0 THEN span_us * 2
+                           ELSE span_us DIV n_changes END AS BIGINT)
+         AS next_fetch_us
+FROM per_page
+WHERE n_obs >= 2
+ORDER BY user_id
+"""
+_REVISIT_DUCK = """
+WITH obs AS (
+  SELECT user_id,
+         epoch_us(ts) AS ts_us,
+         md5(coalesce(props, '')) AS fp,
+         lag(md5(coalesce(props, ''))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_fp
+  FROM events
+),
+per_page AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(CASE WHEN prev_fp IS NOT NULL AND fp <> prev_fp
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us,
+         CAST(max(ts_us) AS BIGINT) AS last_us
+  FROM obs GROUP BY user_id
+)
+SELECT user_id, n_obs, n_changes, span_us,
+       CAST(CASE WHEN n_changes = 0 THEN span_us * 2
+                 ELSE span_us // n_changes END AS BIGINT) AS revisit_us,
+       CAST(last_us + CASE WHEN n_changes = 0 THEN span_us * 2
+                           ELSE span_us // n_changes END AS BIGINT)
+         AS next_fetch_us
+FROM per_page
+WHERE n_obs >= 2
+ORDER BY user_id
+"""
+
+
 # Skew diagnosis: the ten heaviest keys with their corpus share — the
 # measurement that decides whether the pipeline's salting/AQE-skew handling
 # is needed for a given key (complements `salted_event_totals`, which
@@ -4103,6 +4176,7 @@ QUERIES: dict[str, tuple] = {
     "dup_cluster_canonical": (_dup_cluster_canonical, None),
     "source_drift_kl": (_source_drift_kl, None),
     "incremental_minhash_dedup": (_incremental_minhash_dedup, None),
+    "crawl_revisit_schedule": (_sql(_REVISIT_SPARK), None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL
@@ -4129,4 +4203,5 @@ TWIN_SQL: dict[str, str] = {
     "decontaminate_spans": _DECON_SPANS_DUCK,
     "dup_cluster_canonical": _DUP_CANONICAL_ORACLE,
     "source_drift_kl": _SOURCE_KL_DUCK,
+    "crawl_revisit_schedule": _REVISIT_DUCK,
 }

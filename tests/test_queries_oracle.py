@@ -916,3 +916,51 @@ def test_source_drift_kl_semantics(spark):
     con.register("documents", pdf)
     duck = {s: (int(n), float(k)) for s, n, k in con.execute(_SOURCE_KL_DUCK).fetchall()}
     assert duck == {s: (int(n), float(k)) for s, (n, k) in got.items()}
+
+
+def test_crawl_revisit_schedule_semantics(spark):
+    """Cho & Garcia-Molina refresh estimation pinned on a crafted history:
+    a page changing on every observation revisits at span/(n-1); a static
+    page backs off to 2x span; transition counting uses CONSECUTIVE
+    fingerprints (A,B,A = 2 changes, A,A,B = 1); single-observation pages
+    are excluded; both dialects agree."""
+    import duckdb as _duckdb
+    import pandas as pd
+
+    from extractor_spark.spark.queries import _REVISIT_DUCK, _REVISIT_SPARK
+
+    def ev(eid, uid, ts_s, k):
+        return (eid, pd.Timestamp(ts_s, unit="s"), uid, "crawl", 0.0, '{"k": %d}' % k)
+
+    rows = [
+        # page 1: changes every obs, span 100s, n=3 -> revisit 50s
+        ev(0, 1, 1000, 1), ev(1, 1, 1050, 2), ev(2, 1, 1100, 3),
+        # page 2: static, span 80s -> revisit 160s
+        ev(3, 2, 1000, 7), ev(4, 2, 1040, 7), ev(5, 2, 1080, 7),
+        # page 3: A,A,B -> 1 change over 90s -> revisit 90s
+        ev(6, 3, 1000, 5), ev(7, 3, 1030, 5), ev(8, 3, 1090, 6),
+        # page 4: single obs -> excluded
+        ev(9, 4, 1000, 9),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    got = {
+        r["user_id"]: (r["n_obs"], r["n_changes"], r["span_us"], r["revisit_us"], r["next_fetch_us"])
+        for r in spark.sql(_REVISIT_SPARK).collect()
+    }
+    M = 1_000_000
+    assert got == {
+        1: (3, 2, 100 * M, 50 * M, 1100 * M + 50 * M),
+        2: (3, 0, 80 * M, 160 * M, 1080 * M + 160 * M),
+        3: (3, 1, 90 * M, 90 * M, 1090 * M + 90 * M),
+    }, got
+
+    con = _duckdb.connect()
+    con.register("events", pdf)
+    duck = {
+        int(u): (int(n), int(c), int(s), int(rv), int(nf))
+        for u, n, c, s, rv, nf in con.execute(_REVISIT_DUCK).fetchall()
+    }
+    assert duck == got
