@@ -365,6 +365,7 @@ def main() -> None:
         "source_drift_kl",
         "incremental_minhash_dedup",
         "crawl_revisit_schedule",
+        "pii_span_attributes",
     ]
     from extractor_spark.spark.queries import release_query_caches
 
@@ -409,6 +410,12 @@ def main() -> None:
                 F.lit("plantedprefix tokena tokenb "),
                 F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 8)),
                 F.lit(" plantedsuffix tokenc"),
+                # PII-shaped strings so pii_span_attributes fires at bench
+                # scale too (the sf corpora carry none); appended AFTER the
+                # contamination segment so the 8-gram legs are unchanged
+                F.lit(" mail crawler+ops@planted.example.org from 10.42.7."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(" tel +1 555-123-4567"),
             ),
         )
     )
@@ -430,6 +437,13 @@ def main() -> None:
     n = fn(spark, aug_dir).count()
     timings["decontaminate_spans_planted"] = round(time.time() - t0, 3)
     extras["query_rows"]["decontaminate_spans_planted"] = n
+    release_query_caches()
+
+    fn, _oracle = QUERIES["pii_span_attributes"]
+    t0 = time.time()
+    n = fn(spark, aug_dir).count()
+    timings["pii_span_attributes_planted"] = round(time.time() - t0, 3)
+    extras["query_rows"]["pii_span_attributes_planted"] = n
     release_query_caches()
 
     extras["contention_probe_s"]["post_suite"] = _contention_probe()

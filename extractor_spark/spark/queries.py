@@ -862,6 +862,45 @@ SELECT doc_id,
 FROM documents
 """
 
+# Dolma-style typed PII span ATTRIBUTES (engine/piispans.py): offsets over
+# the original text, decoupled from the apply decision — the tagger/filter
+# architecture of AI2's Dolma toolkit, vs pii_scrub's fused scrub.  One
+# map-only Arrow pass; the cross-implementation gate pins Python-re spans
+# + right-to-left masking ≡ pii_scrub's Java-regex sequential replace.
+def pii_spans_df(docs: DataFrame) -> DataFrame:
+    """The tagger pass over any (doc_id, text) frame (shared by the query
+    and the crafted-corpus equivalence gate — the driver SF corpora carry
+    no PII-shaped strings, so the cross-implementation test plants some)."""
+
+    def tag(batches):
+        import pandas as pd
+
+        from extractor_spark.engine.piispans import pii_spans
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for kind, s, e, m in pii_spans(text or ""):
+                    rows.append((int(doc_id), kind, s, e, m))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "span_start", "span_end", "matched"],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        tag,
+        schema="doc_id bigint, kind string, span_start bigint,"
+        " span_end bigint, matched string",
+    )
+
+
+def _pii_span_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return pii_spans_df(spark.table("documents")).orderBy("doc_id", "span_start")
+
+
 # Repetition-based quality signal (Gopher-style): fraction of lines that are
 # duplicates within the document, scaled to integer per-mille for exactness.
 _REPETITION_SPARK = """
@@ -4177,6 +4216,7 @@ QUERIES: dict[str, tuple] = {
     "source_drift_kl": (_source_drift_kl, None),
     "incremental_minhash_dedup": (_incremental_minhash_dedup, None),
     "crawl_revisit_schedule": (_sql(_REVISIT_SPARK), None),
+    "pii_span_attributes": (_pii_span_attributes, None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL

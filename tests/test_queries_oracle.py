@@ -964,3 +964,75 @@ def test_crawl_revisit_schedule_semantics(spark):
         for u, n, c, s, rv, nf in con.execute(_REVISIT_DUCK).fetchall()
     }
     assert duck == got
+
+
+def test_pii_span_attributes_crafted_offsets():
+    """Hand-computed 0-based offsets on a crafted doc; kind-priority
+    overlap resolution (ip beats phone on dotted digit runs)."""
+    from extractor_spark.engine.piispans import mask_spans, pii_spans
+
+    text = "mail bob.smith+x@corp.example.org or 10.0.255.7 tel +1 555-123-4567 end"
+    spans = pii_spans(text)
+    assert spans == [
+        ("email", 5, 33, "bob.smith+x@corp.example.org"),
+        ("ip", 37, 47, "10.0.255.7"),
+        ("phone", 52, 67, "+1 555-123-4567"),
+    ], spans
+    assert mask_spans(text, spans) == "mail <EMAIL> or <IP> tel <PHONE> end"
+    # ip-priority overlap: a dotted quad is tagged ip, not phone
+    assert [k for k, *_ in pii_spans("x 12.123.123.1234 y")] == ["ip"]
+    assert pii_spans("") == []
+
+
+def test_pii_spans_mask_equals_jvm_scrub(spark):
+    """Cross-implementation equivalence on a planted corpus (the driver SF
+    corpora carry no PII-shaped strings): Python-re spans masked
+    right-to-left reproduce pii_scrub's Java-regex sequential replace for
+    every document — 200 docs mixing emails, dotted quads, and phones in
+    assorted separators, several per doc, plus clean docs."""
+    import pandas as pd
+
+    from extractor_spark.engine.piispans import mask_spans
+    from extractor_spark.spark.queries import _PII_SPARK, pii_spans_df
+
+    rows = []
+    for i in range(200):
+        parts = [f"doc {i} begins with plain prose"]
+        if i % 2 == 0:
+            parts.append(f"contact user{i}.name+tag@mail{i % 7}.example.com today")
+        if i % 3 == 0:
+            parts.append(f"server at 10.{i % 256}.{(i * 7) % 256}.{i % 100} responded")
+        if i % 5 == 0:
+            sep = [" ", "-", "."][i % 3]
+            parts.append(f"call +1{sep}55{i % 10}{sep}123{sep}4{i % 10}67 now")
+        if i % 4 == 0:
+            parts.append(f"cc admin@ops.example.org and 192.168.1.{i % 200}")
+        parts.append("and ends without incident")
+        rows.append((i, " ".join(parts)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(pdf)
+
+    by_doc: dict[int, list] = {}
+    for r in pii_spans_df(docs).collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["kind"], r["span_start"], r["span_end"], r["matched"])
+        )
+
+    docs.createOrReplaceTempView("documents")
+    scrubbed = {r["doc_id"]: r["scrubbed"] for r in spark.sql(_PII_SPARK).collect()}
+    texts = dict(rows)
+    n_with_spans = 0
+    for doc_id, text in texts.items():
+        spans = by_doc.get(doc_id, [])
+        n_with_spans += bool(spans)
+        assert mask_spans(text, spans) == scrubbed[doc_id], (doc_id, spans)
+    assert n_with_spans >= 100
+
+
+def test_pii_patterns_pinned_to_scrub_literals():
+    """The tagger's regex literals must not drift from pii_scrub's."""
+    from extractor_spark.engine.piispans import PII_PATTERNS
+    from extractor_spark.spark.queries import _PII_EMAIL, _PII_IPV4, _PII_PHONE
+
+    pats = {k: p.pattern for k, p in PII_PATTERNS}
+    assert pats == {"email": _PII_EMAIL, "ip": _PII_IPV4, "phone": _PII_PHONE}
