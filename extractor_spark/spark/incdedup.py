@@ -147,40 +147,68 @@ def _verdicts(
     )
 
 
+def _read_earlier(spark: SparkSession, root: str, batch_id: int):
+    """Partitions of the store strictly EARLIER than ``batch_id`` (batch=N
+    subdir layout, Spark partition discovery + pruning), or None when none
+    exist yet."""
+    if not os.path.isdir(root) or not any(
+        e.startswith("batch=") for e in os.listdir(root)
+    ):
+        return None
+    return (
+        spark.read.parquet(root)
+        .filter(F.col("batch") < batch_id)
+        .drop("batch")
+    )
+
+
 def dedup_batch(
     spark: SparkSession,
     store_path: str,
     docs: DataFrame,
     threshold: float = 0.8,
     append: bool = True,
+    batch_id: int = 0,
 ) -> DataFrame:
     """Verdict every doc in ``docs`` (columns url, text; urls assumed new —
     the crawl frontier's anti-join guarantees it) against the persisted
-    index at ``store_path``, then append the batch's shingles and bands.
+    index at ``store_path``, then write the batch's shingles and bands.
 
-    Returns the materialized verdict frame (computed BEFORE the append, so
-    a batch never matches itself)."""
+    REPLAY-IDEMPOTENT (streaming's at-least-once semantics): the store is
+    laid out as batch=N partitions, each batch's write is a deterministic
+    OVERWRITE of its own partition (a retried microbatch rewrites the same
+    bytes instead of appending duplicates), and the probe reads only
+    partitions with batch < batch_id (partition-pruned) — so a retry that
+    runs after its own first-attempt write still sees exactly the
+    strictly-earlier store and produces the identical verdicts.
+
+    Returns the materialized verdict frame."""
     bands_dir = os.path.join(store_path, BANDS_SUBDIR)
     sh_dir = os.path.join(store_path, SHINGLES_SUBDIR)
-    store_bands = spark.read.parquet(bands_dir) if os.path.isdir(bands_dir) else None
-    store_sh = spark.read.parquet(sh_dir) if os.path.isdir(sh_dir) else None
+    store_bands = _read_earlier(spark, bands_dir, batch_id)
+    store_sh = _read_earlier(spark, sh_dir, batch_id)
 
     batch_sh, batch_bands = batch_shingles_and_bands(spark, docs)
     batch_sh = batch_sh.persist()
     batch_bands = batch_bands.persist()
     try:
-        # localCheckpoint, NOT persist: appending to a path RECACHES every
+        # localCheckpoint, NOT persist: writing to a path RECACHES every
         # cached plan that reads it (InsertIntoHadoopFsRelation calls
         # refreshByPath), so a merely-persisted verdict frame would be
-        # recomputed against the post-append store and every batch doc
-        # would "match" itself.  The eager checkpoint severs the lineage
-        # before the store mutates.
+        # recomputed against the post-write store.  The eager checkpoint
+        # severs the lineage before the store mutates.  (With the
+        # batch< pruning the recompute would now be benign, but the
+        # snapshot guarantee is worth keeping explicit.)
         out = _verdicts(
             docs, batch_sh, batch_bands, store_sh, store_bands, threshold
         ).localCheckpoint(eager=True)
         if append:
-            batch_sh.write.mode("append").parquet(sh_dir)
-            batch_bands.write.mode("append").parquet(bands_dir)
+            batch_sh.write.mode("overwrite").parquet(
+                os.path.join(sh_dir, f"batch={int(batch_id)}")
+            )
+            batch_bands.write.mode("overwrite").parquet(
+                os.path.join(bands_dir, f"batch={int(batch_id)}")
+            )
         return out
     finally:
         batch_sh.unpersist()
@@ -208,8 +236,13 @@ def streaming_dedup(
         from . import caches
 
         with caches.scope():
-            out = dedup_batch(spark, store_dir, batch_df, threshold=threshold)
-            out.write.mode("append").parquet(verdicts_dir)
+            out = dedup_batch(
+                spark, store_dir, batch_df, threshold=threshold, batch_id=batch_id
+            )
+            # verdicts idempotent the same way: per-batch partition overwrite
+            out.write.mode("overwrite").parquet(
+                os.path.join(verdicts_dir, f"batch={int(batch_id)}")
+            )
             out.unpersist()
 
     stream = (

@@ -2037,11 +2037,15 @@ def _incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="incdedup_q_")
     try:
+        sc = spark.sparkContext
+        before = caches.persistent_ids(sc)
         outs = []
         for b in range(3):
             batch = docs.filter(F.col("b") == b).select("url", "text")
-            v = dedup_batch(spark, work, batch)
+            v = dedup_batch(spark, work, batch, batch_id=b)
             outs.append(v.withColumn("batch_idx", F.lit(b)))
+        mid_handles = caches.checkpoint_handles_since(sc, before)
+        mid = caches.persistent_ids(sc)
         res = outs[0].unionByName(outs[1]).unionByName(outs[2]).select(
             F.col("url").cast("long").alias("doc_id"),
             F.col("batch_idx").cast("int").alias("batch_idx"),
@@ -2049,9 +2053,14 @@ def _incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_of").cast("long").alias("dup_of_doc"),
         )
         out = res.localCheckpoint(eager=True)
-        caches.register(out)
-        for o in outs:
-            o.unpersist()
+        # the per-batch verdict checkpoints are dead once `out` is
+        # materialized — release their JVM blocks NOW (DataFrame.unpersist
+        # is a no-op for localCheckpoint storage, see caches module doc);
+        # out's own blocks are registered for release_query_caches()
+        for h in mid_handles:
+            h.unpersist()
+        for h in caches.checkpoint_handles_since(sc, mid):
+            caches.register(h)
         return out.orderBy("doc_id")
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -41,7 +41,7 @@ def _run_incremental(spark, docs, n_batches=3, threshold=0.8):
         rows = {}
         for b in range(n_batches):
             batch = docs.filter(F.col("b") == b).select("url", "text")
-            v = dedup_batch(spark, work, batch, threshold=threshold)
+            v = dedup_batch(spark, work, batch, threshold=threshold, batch_id=b)
             for r in v.collect():
                 rows[r["url"]] = (r["is_dup"], r["dup_of"])
             v.unpersist()
@@ -187,3 +187,42 @@ def test_streaming_source_counts_match_batch_and_kl(spark, tmp_path):
     store.createOrReplaceTempView("source_kl_sc")
     stream_kl = {tuple(r) for r in spark.sql(_SOURCE_KL_SPARK).collect()}
     assert stream_kl == batch_kl
+
+
+def test_batch_replay_is_idempotent(spark):
+    """At-least-once streaming semantics: re-running a batch AFTER its
+    first attempt already wrote the store (the retry case) produces the
+    identical verdicts — the probe reads only batch< partitions, so a
+    batch never sees its own first attempt — and the per-batch partition
+    OVERWRITE leaves the store without duplicates."""
+    import pandas as pd
+
+    from extractor_spark.spark.incdedup import BANDS_SUBDIR, dedup_batch
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(59)) + " changed"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [("a1", base, 0), ("b1", near, 1), ("b2", base + " tail x", 1)],
+            columns=["url", "text", "b"],
+        )
+    )
+    work = tempfile.mkdtemp(prefix="incdedup_replay_")
+    try:
+        for b in range(2):
+            batch = docs.filter(F.col("b") == b).select("url", "text")
+            v1 = dedup_batch(spark, work, batch, batch_id=b)
+        first = sorted(tuple(r) for r in v1.collect())
+        bands_rows = spark.read.parquet(os.path.join(work, BANDS_SUBDIR)).count()
+
+        # retry batch 1: store already holds its first attempt
+        batch = docs.filter(F.col("b") == 1).select("url", "text")
+        v2 = dedup_batch(spark, work, batch, batch_id=1)
+        assert sorted(tuple(r) for r in v2.collect()) == first
+        # overwrite, not append: store row count unchanged
+        assert (
+            spark.read.parquet(os.path.join(work, BANDS_SUBDIR)).count()
+            == bands_rows
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
