@@ -103,18 +103,32 @@ def sanitize_text(s: str) -> tuple[str, int, int]:
     s = s.replace("\r\n", "\n").replace("\r", "\n")
 
     repairs = 0
-    score = _weirdness(s)
-    while score > 0 and repairs < _MAX_REPAIR_PASSES:
-        fixed = _repair_once(s)
-        if fixed is None:
+    removed = 0
+    # Run repair → NFC → strip to a FIXPOINT: stripping can UNLOCK a
+    # repair (hypothesis find: '\x80â\xa0\xa0' — the stray C1 byte makes
+    # the cp1252/latin-1 round trip undecodable, but once the strip pass
+    # removes it, 'â\xa0\xa0' is repairable mojibake for U+2820), so a
+    # single ordering of the stages is not idempotent.  Termination:
+    # every changing round strictly decreases the weirdness count or the
+    # length (repairs are accepted only on strict weirdness decrease,
+    # strips strictly shorten, NFC is idempotent); the cap is
+    # belt-and-braces.
+    for _round in range(8):
+        before = s
+        score = _weirdness(s)
+        while score > 0 and repairs < _MAX_REPAIR_PASSES:
+            fixed = _repair_once(s)
+            if fixed is None:
+                break
+            fixed_score = _weirdness(fixed)
+            if fixed_score >= score:
+                break
+            s, score = fixed, fixed_score
+            repairs += 1
+        s = unicodedata.normalize("NFC", s)
+        stripped = _STRIP_RE.sub("", s)
+        removed += len(s) - len(stripped)
+        s = stripped
+        if s == before:
             break
-        fixed_score = _weirdness(fixed)
-        if fixed_score >= score:
-            break
-        s, score = fixed, fixed_score
-        repairs += 1
-
-    s = unicodedata.normalize("NFC", s)
-    stripped = _STRIP_RE.sub("", s)
-    removed = len(s) - len(stripped)
-    return stripped, repairs, removed
+    return s, repairs, removed
