@@ -4108,6 +4108,110 @@ def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# UT1-style blocklist rules over the synth crawl.  Deterministic: two
+# synth hosts are category-blocked outright, one deep-subdomain rule and
+# one parent-domain rule exercise label-boundary suffix matching (planted
+# pages below include the classic "bads.example.org vs ads.example.org"
+# string-endswith trap, which must NOT match), and two path-prefix rules
+# block URL subtrees on otherwise-allowed hosts.
+_BLOCKLIST_DOMAIN_RULES = [
+    ("ads.example.org", "ads"),
+    ("cdn.site-05.example.org", "tracking"),
+    ("site-03.example.org", "adult"),
+    ("site-11.example.org", "ads"),
+]
+_BLOCKLIST_PREFIX_RULES = [
+    ("site-02.example.org", "/article/1", "paywall"),
+    ("site-07.example.org", "/article/4", "gambling"),
+]
+_BLOCKLIST_PLANTED_URLS = [
+    "https://x.ads.example.org/a/1",  # blocked via parent-domain rule
+    "https://ads.example.org/a/2",  # blocked exactly
+    "https://bads.example.org/a/3",  # NOT blocked (label-boundary trap)
+    "https://cdn.site-05.example.org/t.js",  # deep rule; site-05 itself allowed
+    "https://a.b.cdn.site-05.example.org/t2.js",  # two labels under a deep rule
+]
+
+
+def _url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1/Blacklists-style URL blocklist verdicts over the synth crawl
+    plus five planted adversarial urls (spark/blocklist.py): domain rules
+    block a host and every subdomain on LABEL boundaries (``ads.example.org``
+    matches ``x.ads.example.org``, never ``bads.example.org``); url-prefix
+    rules block path subtrees on an exact host.  One row per (url, rule)
+    match.  Scale shape: host suffixes are exploded on label boundaries
+    (bounded ≤ ~10/row, bare TLDs dropped) and equi-joined against the
+    broadcast rule table — linear in pages, never pages × rules; prefix
+    rules are a broadcast host equi-join + JVM startswith; zero Python in
+    the matching path.  Rows-only: gates in tests/test_blocklist.py
+    (independent urllib+endswith twin over every url, exact match-set
+    equality, planted trap urls pinned individually, anti-join filter
+    form checked against the twin's keep-set)."""
+    from .blocklist import blocklist_matches, domain_rules_df, prefix_rules_df
+
+    pages = _webgraph_pages(spark).select("url")
+    planted = spark.createDataFrame(
+        [(u,) for u in _BLOCKLIST_PLANTED_URLS], "url string"
+    )
+    matches = blocklist_matches(
+        pages.unionByName(planted),
+        domain_rules_df(spark, _BLOCKLIST_DOMAIN_RULES),
+        prefix_rules_df(spark, _BLOCKLIST_PREFIX_RULES),
+    )
+    return matches.orderBy("url", "category", "matched_rule")
+
+
+# Leakage-safe corpus split: train/valid/test assignment that is CLOSED
+# over near-duplicate clusters — the split key is the connected-component
+# id of the dedup graph, not the document id, so no near-dup pair can
+# straddle train and test (the contamination mode Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" and the
+# StarCoder/The-Stack data cards call out: a test document whose near-dup
+# sits in train is memorized, not generalized).
+_SPLIT_BOUNDS = (90, 95)  # bucket <90 train, <95 valid, else test
+
+
+def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-closed train/valid/test split (90/5/5): connected components
+    over the exact-Jaccard near-dup graph (the oracled dedup_clusters
+    edges), then split_bucket = pmod(murmur3(cluster_id), 100) — every
+    member of a dup cluster lands in the SAME split by construction.
+    Scale shape: the components loop is the existing O(log diameter)
+    one-job-per-round star machinery; the split itself adds ZERO shuffles
+    — a pure JVM hash expression over the label table.  Rows-only: gates
+    in tests/test_leakage_split.py (exact equality vs a DuckDB
+    recursive-CTE + bit-identical-Murmur3 twin, closure over every
+    near-dup pair, a planted corpus where the naive doc_id-hash split
+    provably straddles a dup pair while this one doesn't, and
+    nonempty-split proportions at sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from extractor_spark.spark.graph import star_components
+
+    _views(spark, sf_dir)
+    pairs = spark.sql(_JACCARD_SPARK).selectExpr("d1 AS src", "d2 AS dst")
+    labels = star_components(spark.table("documents"), pairs, "doc_id")
+    return leakage_split_frame(labels).orderBy("doc_id")
+
+
+def leakage_split_frame(labels: DataFrame) -> DataFrame:
+    """Split assignment over an explicit (doc_id, cluster_id) label frame —
+    separated so tests can run it on engineered cluster graphs."""
+    from pyspark.sql import functions as F
+
+    lo, hi = _SPLIT_BOUNDS
+    bucket = F.pmod(F.hash(F.col("cluster_id").cast("string")), F.lit(100))
+    return labels.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        bucket.cast("long").alias("split_bucket"),
+        F.when(bucket < lo, "train")
+        .when(bucket < hi, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     #
@@ -4226,6 +4330,8 @@ QUERIES: dict[str, tuple] = {
     "incremental_minhash_dedup": (_incremental_minhash_dedup, None),
     "crawl_revisit_schedule": (_sql(_REVISIT_SPARK), None),
     "pii_span_attributes": (_pii_span_attributes, None),
+    "url_blocklist_filter": (_url_blocklist_filter, None),
+    "leakage_safe_split": (_leakage_safe_split, None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL
