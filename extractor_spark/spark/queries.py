@@ -4212,6 +4212,63 @@ def leakage_split_frame(labels: DataFrame) -> DataFrame:
     )
 
 
+# Exact-phrase search over a positional index (quote attribution /
+# contamination auditing / "which docs contain this sentence").  The
+# registry form is the fused fixed-k=3 plan: ONE trigram explode pass over
+# the corpus (the positional trigram index in flat form), broadcast-joined
+# against a deterministic query set of 3-token phrases drawn from the
+# corpus itself (tokens 5..7 of every 50th doc), aggregated to
+# per-(phrase, doc) hit counts — one corpus pass, one broadcast join, one
+# aggregation shuffle, positional ADJACENCY enforced by construction.
+# The general-k / stored-index production path is spark/phraseindex.py
+# (build once term-clustered, serve many with a pushdown-pruned scan);
+# tests/test_phrase_search.py pins that path against a brute-force twin
+# and pins this query's fused form equal to serving the same phrases
+# from a stored index.
+_PHRASE_SPARK = """
+WITH toks AS (
+  SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS t FROM documents
+), q AS (
+  SELECT doc_id AS phrase_id,
+         concat_ws(' ', slice(t, 5, 3)) AS phrase,
+         element_at(t, 5) AS w0, element_at(t, 6) AS w1, element_at(t, 7) AS w2
+  FROM toks WHERE doc_id % 50 = 0 AND size(t) >= 7
+), tri AS (
+  SELECT doc_id, i AS pos, element_at(t, i) AS w0,
+         element_at(t, i + 1) AS w1, element_at(t, i + 2) AS w2
+  FROM toks LATERAL VIEW explode(sequence(1, size(t) - 2)) p AS i
+  WHERE size(t) >= 3
+)
+SELECT q.phrase_id, q.phrase, tri.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(MIN(tri.pos) AS BIGINT) AS first_pos
+FROM q JOIN tri ON tri.w0 = q.w0 AND tri.w1 = q.w1 AND tri.w2 = q.w2
+GROUP BY q.phrase_id, q.phrase, tri.doc_id
+ORDER BY q.phrase_id, tri.doc_id
+"""
+_PHRASE_DUCK = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), q AS (
+  SELECT doc_id AS phrase_id,
+         array_to_string(t[5:7], ' ') AS phrase,
+         t[5] AS w0, t[6] AS w1, t[7] AS w2
+  FROM toks WHERE doc_id % 50 = 0 AND len(t) >= 7
+), tri AS (
+  SELECT doc_id, i AS pos, t[i] AS w0, t[i + 1] AS w1, t[i + 2] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3)
+)
+SELECT q.phrase_id, q.phrase, tri.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(MIN(tri.pos) AS BIGINT) AS first_pos
+FROM q JOIN tri ON tri.w0 = q.w0 AND tri.w1 = q.w1 AND tri.w2 = q.w2
+GROUP BY q.phrase_id, q.phrase, tri.doc_id
+ORDER BY q.phrase_id, tri.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     #
@@ -4332,6 +4389,7 @@ QUERIES: dict[str, tuple] = {
     "pii_span_attributes": (_pii_span_attributes, None),
     "url_blocklist_filter": (_url_blocklist_filter, None),
     "leakage_safe_split": (_leakage_safe_split, None),
+    "phrase_search": (_sql(_PHRASE_SPARK), None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL
@@ -4359,4 +4417,5 @@ TWIN_SQL: dict[str, str] = {
     "dup_cluster_canonical": _DUP_CANONICAL_ORACLE,
     "source_drift_kl": _SOURCE_KL_DUCK,
     "crawl_revisit_schedule": _REVISIT_DUCK,
+    "phrase_search": _PHRASE_DUCK,
 }
