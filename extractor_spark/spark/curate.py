@@ -1,6 +1,7 @@
 """Training-data curation: the composite job a 100 TB text pipeline runs
-AFTER extraction — exact dedup, MinHash-LSH near-dup clustering with
-canonical selection, quality filtering, JSONL export.
+AFTER extraction — URL blocklist, exact dedup, MinHash-LSH near-dup
+clustering with canonical selection, quality filtering, benchmark
+decontamination, leakage-safe split assignment, JSONL export.
 
 Every stage is the scale-audited primitive from queries.py applied to the
 extract pipeline's output table (url-keyed instead of doc_id-keyed):
@@ -160,9 +161,30 @@ def curate(
     jaccard_threshold: float = 0.8,
     components: str = "minlabel",
     pack_budget: int | None = None,
+    blocklist_domains: str | None = None,
+    blocklist_urls: str | None = None,
+    decon_benchmarks: str | None = None,
+    split: bool = False,
 ) -> dict:
     """Run the curation funnel over an extract-pipeline output table;
-    returns per-stage counts."""
+    returns per-stage counts.
+
+    Optional stages (each a scale-audited primitive from this repo):
+
+    - ``blocklist_domains`` / ``blocklist_urls``: UT1-format rule files
+      (spark/blocklist.py loaders); pages matching any rule are dropped
+      FIRST — cheapest filter before any hashing.
+    - ``decon_benchmarks``: text file(s), one benchmark document per
+      line; any doc sharing an 8-token word-gram with a benchmark is
+      dropped (GPT-3 appendix-C whole-doc variant) after the quality
+      filter — the expensive gram join runs on the smallest surviving
+      set.  Grams are xxhash64'd (collision odds ~|grams|²/2⁶⁴ —
+      negligible; the oracled exact-string form is ngram_decontaminate).
+    - ``split``: adds a leakage-safe train/valid/test column keyed on
+      the SAME near-dup cluster ids stage 2 already computed (zero extra
+      shuffles) — so the assignment is closed over near-dup clusters by
+      construction even if dedup is later relaxed to keep k per cluster.
+    """
     docs = (
         spark.read.parquet(input_path)
         .select("url", "markdown", "text")
@@ -172,6 +194,25 @@ def curate(
     sc = spark.sparkContext
     cache_mark = len(caches.LIVE)  # don't touch unrelated queries' caches
     ckpt_handles: list = []
+
+    # 0. URL blocklist (UT1 rules): drop matched pages before any hashing
+    if blocklist_domains or blocklist_urls:
+        from .blocklist import apply_blocklist, load_ut1_domains, load_ut1_urls
+
+        dom = (
+            load_ut1_domains(spark, blocklist_domains)
+            if blocklist_domains
+            else spark.createDataFrame([], "domain string, category string")
+        )
+        pre = (
+            load_ut1_urls(spark, blocklist_urls)
+            if blocklist_urls
+            else spark.createDataFrame(
+                [], "rule_host string, path_prefix string, category string"
+            )
+        )
+        docs = apply_blocklist(docs, dom, pre)
+        stats["after_blocklist"] = docs.count()
 
     # 1. exact dedup (keep min url per fingerprint)
     w = Window.partitionBy(F.md5("text")).orderBy("url")
@@ -216,7 +257,7 @@ def curate(
         docs.join(labels, "url")
         .withColumn("_rk", F.row_number().over(wc))
         .filter("_rk = 1")
-        .drop("_rk", "cluster_id")
+        .drop(*(["_rk"] if split else ["_rk", "cluster_id"]))
     ).localCheckpoint(eager=False)  # consumed by two counts AND the export
     # write; the stage count below is the materializing job
     ckpt_handles += caches.checkpoint_handles_since(sc, before)
@@ -241,7 +282,50 @@ def curate(
     )
     stats["after_quality_filter"] = docs.count()
 
-    # 3b. optional sequence packing: training-ready pack ids over the
+    # 3a. optional benchmark decontamination: drop any doc sharing an
+    # 8-token word-gram with a benchmark line (GPT-3 appendix-C whole-doc
+    # variant, xxhash64'd grams).  Benchmark grams are a bounded table
+    # (benchmark suites are MBs) — broadcast; the corpus gram stream flows
+    # through the join un-materialized and the anti-join is one shuffle
+    # on url.
+    if decon_benchmarks:
+        gram_hashes = (
+            "transform(sequence(0, size(_w) - 8), "
+            "i -> xxhash64(concat_ws(' ', slice(_w, i + 1, 8))))"
+        )
+        bm_grams = (
+            spark.read.text(decon_benchmarks)
+            .select(F.split(F.trim("value"), r"\s+").alias("_w"))
+            .where(F.size("_w") >= 8)
+            .select(F.explode(F.expr(gram_hashes)).alias("gh"))
+            .distinct()
+        )
+        doc_grams = (
+            docs.select("url", F.split(F.trim("text"), r"\s+").alias("_w"))
+            .where(F.size("_w") >= 8)
+            .select("url", F.explode(F.expr(gram_hashes)).alias("gh"))
+        )
+        contaminated = (
+            doc_grams.join(F.broadcast(bm_grams), "gh").select("url").distinct()
+        )
+        docs = docs.join(contaminated, "url", "left_anti")
+        stats["after_decontamination"] = docs.count()
+
+    # 3b. optional leakage-safe split: train/valid/test keyed on the
+    # near-dup cluster id stage 2 already computed — a pure JVM hash
+    # expression, zero extra shuffles, closed over dup clusters by
+    # construction.
+    if split:
+        from .queries import leakage_split_expr
+
+        _, split_col = leakage_split_expr("cluster_id")
+        docs = docs.withColumn("split", split_col).drop("cluster_id")
+        stats["split_counts"] = {
+            r["split"]: r["n"]
+            for r in docs.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+
+    # 3c. optional sequence packing: training-ready pack ids over the
     # surviving docs (url order), so the exported JSONL can be consumed as
     # concat-then-chunk sequences without another pass over the corpus
     if pack_budget:

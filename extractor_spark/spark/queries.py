@@ -4194,21 +4194,31 @@ def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_split_frame(labels).orderBy("doc_id")
 
 
+def leakage_split_expr(cluster_col: str = "cluster_id"):
+    """(split_bucket, split) Column pair keyed on a cluster-id column —
+    the pure-expression core of the leakage-safe split, shared with the
+    curation job (jobs/curate.py --split) so both assign identically."""
+    from pyspark.sql import functions as F
+
+    lo, hi = _SPLIT_BOUNDS
+    bucket = F.pmod(F.hash(F.col(cluster_col).cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < lo, "train").when(bucket < hi, "valid").otherwise("test")
+    )
+    return bucket.cast("long"), split
+
+
 def leakage_split_frame(labels: DataFrame) -> DataFrame:
     """Split assignment over an explicit (doc_id, cluster_id) label frame —
     separated so tests can run it on engineered cluster graphs."""
     from pyspark.sql import functions as F
 
-    lo, hi = _SPLIT_BOUNDS
-    bucket = F.pmod(F.hash(F.col("cluster_id").cast("string")), F.lit(100))
+    bucket, split = leakage_split_expr("cluster_id")
     return labels.select(
         "doc_id",
         F.col("cluster_id").cast("long").alias("cluster_id"),
-        bucket.cast("long").alias("split_bucket"),
-        F.when(bucket < lo, "train")
-        .when(bucket < hi, "valid")
-        .otherwise("test")
-        .alias("split"),
+        bucket.alias("split_bucket"),
+        split.alias("split"),
     )
 
 

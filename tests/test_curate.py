@@ -119,6 +119,91 @@ def test_curate_star_components_parity(spark, tmp_path):
     assert kept(tmp_path / "c_ml") == kept(tmp_path / "c_st")
 
 
+def test_curate_blocklist_decon_split_composition(spark, tmp_path):
+    """The full curation composition: UT1 blocklist files drop planted
+    blocked urls (subdomain match on label boundaries, url-prefix subtree;
+    the string-endswith trap host survives), benchmark decontamination
+    drops exactly the doc sharing an 8-token gram with a benchmark line
+    (a 7-token overlap survives), and --split stamps a deterministic
+    leakage-safe split column keyed on near-dup cluster ids."""
+    from extractor_spark.spark.curate import curate
+
+    bm_line = ("zeta functions govern the distribution of prime numbers "
+               "in arithmetic progressions")
+    contaminated = ("my survey notes how zeta functions govern the "
+                    "distribution of prime numbers with several examples "
+                    "worked out in full detail")
+    near_miss = ("special functions govern the distribution of prime "
+                 "numbers differently in every finite field model we "
+                 "checked twice")
+    docs = _docs() + [
+        {"url": "https://ads.blocked.test/x", "markdown": "m",
+         "text": "advertising copy that would otherwise pass every filter "
+                 "with room to spare today"},
+        {"url": "https://blocked.test/y", "markdown": "m",
+         "text": "more advertising copy that would also pass every filter "
+                 "with room to spare tomorrow"},
+        {"url": "https://notblocked.test/z", "markdown": "m",
+         "text": "an innocent page on a host that merely string-endswith "
+                 "the blocked domain name"},
+        {"url": "https://c.test/paywall/article", "markdown": "m",
+         "text": "paywalled article body hidden behind the subscription "
+                 "wall of this otherwise fine site"},
+        {"url": "https://c.test/pay", "markdown": "m",
+         "text": "a page about payments whose path merely shares a prefix "
+                 "with the paywall subtree"},
+        {"url": "https://bench.test/contaminated", "markdown": "m", "text": contaminated},
+        {"url": "https://bench.test/near-miss", "markdown": "m", "text": near_miss},
+    ]
+    inp = str(tmp_path / "extract_out")
+    spark.createDataFrame(pd.DataFrame(docs)).write.parquet(inp)
+    (tmp_path / "ut1_domains").write_text("# comment\nblocked.test\n\n")
+    (tmp_path / "ut1_urls").write_text("c.test/paywall\n")
+    (tmp_path / "benchmarks.txt").write_text(bm_line + "\n")
+
+    kwargs = dict(
+        min_tokens=10,
+        blocklist_domains=str(tmp_path / "ut1_domains"),
+        blocklist_urls=str(tmp_path / "ut1_urls"),
+        decon_benchmarks=str(tmp_path / "benchmarks.txt"),
+        split=True,
+    )
+    out = str(tmp_path / "curated")
+    stats = curate(spark, inp, out, **kwargs)
+    assert stats["input_docs"] == 14
+    assert stats["after_blocklist"] == 11       # 2 domain hits + 1 prefix hit
+    assert stats["after_exact_dedup"] == 10     # a-copy
+    assert stats["after_neardup_dedup"] == 8    # {a, a-near, a-long} -> a-long
+    assert stats["after_quality_filter"] == 6   # short + spam
+    assert stats["after_decontamination"] == 5  # the 8-gram collision doc
+    assert sum(stats["split_counts"].values()) == 5
+
+    rows = {}
+    for f in (tmp_path / "curated").glob("*.json"):
+        for line in f.read_text().splitlines():
+            r = json.loads(line)
+            rows[r["url"]] = r
+    assert set(rows) == {
+        "https://c.test/a-long", "https://c.test/unique",
+        "https://notblocked.test/z", "https://c.test/pay",
+        "https://bench.test/near-miss",
+    }
+    assert all(r["split"] in {"train", "valid", "test"} for r in rows.values())
+    assert "cluster_id" not in next(iter(rows.values()))
+
+    # deterministic: a second run assigns identical splits
+    stats2 = curate(spark, inp, str(tmp_path / "curated2"), **kwargs)
+    rows2 = {}
+    for f in (tmp_path / "curated2").glob("*.json"):
+        for line in f.read_text().splitlines():
+            r = json.loads(line)
+            rows2[r["url"]] = r
+    assert {u: r["split"] for u, r in rows.items()} == {
+        u: r["split"] for u, r in rows2.items()
+    }
+    assert stats2["split_counts"] == stats["split_counts"]
+
+
 def test_curate_pack_budget_matches_sequential_semantics(spark, tmp_path):
     """--pack-budget: pack ids from the distributed prefix sum must equal
     the plain sequential cumsum over url order (ground truth recomputed
