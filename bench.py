@@ -366,6 +366,10 @@ def main() -> None:
         "incremental_minhash_dedup",
         "crawl_revisit_schedule",
         "pii_span_attributes",
+        # round-5 session-4 additions
+        "url_blocklist_filter",
+        "leakage_safe_split",
+        "phrase_search",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

@@ -105,12 +105,38 @@ def test_repeated_terms_and_overlapping_occurrences(spark, tmp_path):
     }
 
 
+def test_candidate_and_aggregation_paths_agree(spark, sf_index):
+    """The rarest-term candidate-driven path (default) and the
+    aggregation fallback (forced via max_candidate_rows=0) must return
+    identical rows — including k=1 phrases, which the candidate path
+    answers from the rare leg alone."""
+    from extractor_spark.spark.phraseindex import phrase_search
+
+    docs, path = sf_index
+    toks = _corpus_tokens(spark, docs)
+    phrases = [
+        " ".join(toks[3][2:5]),
+        toks[17][0],  # k=1
+        " ".join(toks[42][1:3]),
+        "zzzqx absent",
+    ]
+    rows = lambda df: {(r["phrase_id"], r["doc_id"], r["start"]) for r in df.collect()}
+    cand_path = rows(phrase_search(spark, path, phrases))
+    agg_path = rows(phrase_search(spark, path, phrases, max_candidate_rows=0))
+    assert cand_path == agg_path
+    assert cand_path == _brute_hits(toks, phrases)
+
+
 def test_serving_scan_pushes_term_filter(spark, sf_index):
     from extractor_spark.spark.phraseindex import phrase_search
 
     _, path = sf_index
     plan = phrase_search(spark, path, ["alpha beta"])._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(term" in plan
+    # the bucket directories prune at planning time (≤k of 256 partitions)
+    assert "PartitionFilters: [bucket" in plan and " IN (" in plan.split(
+        "PartitionFilters: [bucket", 1
+    )[1].split("]", 1)[0]
 
 
 def test_registry_query_equals_stored_index_serving(spark, sf_index):
