@@ -165,6 +165,7 @@ def curate(
     blocklist_urls: str | None = None,
     decon_benchmarks: str | None = None,
     split: bool = False,
+    shuffle_seed: int | None = None,
 ) -> dict:
     """Run the curation funnel over an extract-pipeline output table;
     returns per-stage counts.
@@ -184,6 +185,11 @@ def curate(
       the SAME near-dup cluster ids stage 2 already computed (zero extra
       shuffles) — so the assignment is closed over near-dup clusters by
       construction even if dedup is later relaxed to keep k per cluster.
+    - ``shuffle_seed``: packs are composed over a seeded deterministic
+      global shuffle order (xxhash64(url, seed)) instead of url order —
+      the standard pre-training document shuffle, so a pack mixes hosts
+      and sources rather than concatenating one site's pages.  Only
+      meaningful with ``pack_budget``.
     """
     docs = (
         spark.read.parquet(input_path)
@@ -330,13 +336,22 @@ def curate(
     # concat-then-chunk sequences without another pass over the corpus
     if pack_budget:
         sc_before = caches.persistent_ids(sc)
+        # seeded global shuffle order for pack composition (deterministic:
+        # same seed → same packs); url order otherwise
+        order_col = "url"
+        if shuffle_seed is not None:
+            docs = docs.withColumn(
+                "_ord", F.xxhash64(F.col("url"), F.lit(int(shuffle_seed)))
+            )
+            order_col = "_ord"
+            stats["shuffle_seed"] = int(shuffle_seed)
         # checkpoint the packed result too: both the n_packs count and the
         # export write consume it, and the post-checkpoint window+join
         # portion of assign_packs would otherwise run twice (lazy: the
         # n_packs aggregate below is the materializing job)
-        docs = assign_packs(spark, docs, "url", pack_budget).localCheckpoint(
-            eager=False
-        )
+        docs = assign_packs(spark, docs, order_col, pack_budget).drop(
+            "_ord"
+        ).localCheckpoint(eager=False)
         ckpt_handles += caches.checkpoint_handles_since(sc, sc_before)
         stats["n_packs"] = docs.agg(F.countDistinct("pack_id")).first()[0]
         stats["pack_budget"] = pack_budget

@@ -38,6 +38,8 @@ def main(argv=None) -> int:
                    help="text file, one benchmark document per line: drop docs sharing any 8-token gram with a benchmark")
     p.add_argument("--split", action="store_true",
                    help="add a leakage-safe train/valid/test column keyed on near-dup cluster ids (90/5/5)")
+    p.add_argument("--shuffle-seed", type=int, default=None,
+                   help="compose packs over a seeded deterministic global shuffle order instead of url order (requires --pack-budget)")
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--from-submit", action="store_true")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
@@ -66,6 +68,7 @@ def main(argv=None) -> int:
         blocklist_urls=args.blocklist_urls,
         decon_benchmarks=args.decon_benchmarks,
         split=args.split,
+        shuffle_seed=args.shuffle_seed,
     )
     print(json.dumps(stats))
     return 0

@@ -68,6 +68,43 @@ def main() -> None:
     out["curate_s"] = round(time.time() - t0, 2)
     out["curate_stages"] = {k: v for k, v in stats.items() if k != "output_path"}
 
+    # full composition leg (r5 s4): UT1 blocklist + benchmark decon +
+    # leakage split + seeded-shuffle packing on top of the same corpus —
+    # records what the optional stages add at probe scale.
+    dom_f = os.path.join(workdir, "ut1_domains")
+    url_f = os.path.join(workdir, "ut1_urls")
+    bm_f = os.path.join(workdir, "benchmarks.txt")
+    with open(dom_f, "w") as f:
+        f.write("site-03.example.org\nsite-11.example.org\n")
+    with open(url_f, "w") as f:
+        f.write("site-02.example.org/article/1\n")
+    bm_text = (
+        spark.read.parquet(out_path)
+        .select("text")
+        .where("length(text) > 400")
+        .limit(1)
+        .collect()[0]["text"]
+        .replace("\n", " ")
+    )
+    with open(bm_f, "w") as f:
+        f.write(bm_text + "\n")
+    t0 = time.time()
+    stats_full = curate(
+        spark,
+        out_path,
+        os.path.join(workdir, "curated_full"),
+        blocklist_domains=dom_f,
+        blocklist_urls=url_f,
+        decon_benchmarks=bm_f,
+        split=True,
+        pack_budget=2048,
+        shuffle_seed=7,
+    )
+    out["curate_full_s"] = round(time.time() - t0, 2)
+    out["curate_full_stages"] = {
+        k: v for k, v in stats_full.items() if k != "output_path"
+    }
+
     print(json.dumps(out))
     spark.stop()
     shutil.rmtree(workdir, ignore_errors=True)

@@ -119,6 +119,62 @@ def test_curate_star_components_parity(spark, tmp_path):
     assert kept(tmp_path / "c_ml") == kept(tmp_path / "c_st")
 
 
+def test_curate_shuffle_seed_pack_order(spark, tmp_path):
+    """--shuffle-seed: pack composition follows the seeded xxhash64(url,
+    seed) order exactly (ground truth recomputed via Spark's own hash of
+    the kept urls), is deterministic per seed, and differs between seeds
+    (the point: packs mix hosts instead of concatenating one site)."""
+    from pyspark.sql import functions as F
+
+    from extractor_spark.spark.curate import curate
+
+    docs = [
+        {"url": f"https://s{i % 3}.test/{i:03d}", "markdown": "m",
+         "text": " ".join(f"w{i}x{j}" for j in range(10 + i % 5))}
+        for i in range(40)
+    ]
+    inp = str(tmp_path / "extract_out_shuf")
+    spark.createDataFrame(pd.DataFrame(docs)).write.parquet(inp)
+
+    def run(out, seed):
+        return curate(spark, inp, str(tmp_path / out), min_tokens=5,
+                      pack_budget=64, shuffle_seed=seed)
+
+    stats = run("shuf_a", 7)
+    assert stats["shuffle_seed"] == 7 and stats["n_packs"] >= 3
+
+    def packs(d):
+        rows = []
+        for f in (tmp_path / d).glob("*.json"):
+            rows += [json.loads(l) for l in f.read_text().splitlines()]
+        return {r["url"]: r["pack_id"] for r in rows}
+
+    got = packs("shuf_a")
+    # ground truth: sequential cumsum over the seeded hash order
+    order = (
+        spark.createDataFrame(pd.DataFrame(docs))
+        .select("url", F.xxhash64("url", F.lit(7)).alias("h"),
+                F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .orderBy("h")
+        .collect()
+    )
+    cum, want = 0, {}
+    for r in order:
+        want[r["url"]] = cum // 64
+        cum += r["n"]
+    assert got == want
+    # same seed reproduces; a different seed changes the composition
+    assert packs("shuf_a") == got
+    run("shuf_b", 7)
+    assert packs("shuf_b") == got
+    run("shuf_c", 8)
+    assert packs("shuf_c") != got
+    assert "_ord" not in next(iter(
+        json.loads(l) for f in (tmp_path / "shuf_a").glob("*.json")
+        for l in f.read_text().splitlines()
+    ))
+
+
 def test_curate_blocklist_decon_split_composition(spark, tmp_path):
     """The full curation composition: UT1 blocklist files drop planted
     blocked urls (subdomain match on label boundaries, url-prefix subtree;
