@@ -4279,6 +4279,205 @@ ORDER BY q.phrase_id, tri.doc_id
 """
 
 
+# BM25 ranked retrieval (Robertson & Sparck Jones / Okapi BM25, k1=1.2,
+# b=0.75, Lucene's non-negative idf variant ln(1 + (N-df+0.5)/(df+0.5))) —
+# the classic bag-of-words ranking over an inverted index, the retrieval
+# complement to phrase_search's exact positional matching.  Query set is
+# deterministic from the corpus (the 3 distinct tokens at positions 5..7 of
+# every 50th doc).  Scale shape: the query-term set is tiny, so the
+# IN-subquery semi-join broadcasts and the corpus explode FILTERS to query
+# terms before the tf aggregation — the only corpus-sized shuffle carries
+# matching postings only.  Per-term document frequency is a window over the
+# already-filtered postings (the exact-Jaccard DF-window pattern), NOT a
+# second corpus pass; doc lengths/avgdl are a separate no-explode pass.
+# Scores rounded to 4dp so ranking is cross-engine identical (the
+# embedding-query precedent); ties break on doc_id.
+_BM25_SPARK = """
+WITH toks AS (
+  SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS t FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(size(t)) AS avgdl FROM toks
+), q AS (
+  SELECT doc_id AS query_id, term
+  FROM toks LATERAL VIEW explode(array_distinct(slice(t, 5, 3))) qt AS term
+  WHERE doc_id % 50 = 0 AND size(t) >= 7
+), post AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
+  FROM (
+    SELECT doc_id, size(t) AS dl, term
+    FROM toks LATERAL VIEW explode(t) tok AS term
+  )
+  WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), postdf AS (
+  SELECT *, CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df FROM post
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(round(SUM(
+           ln((s.n_docs - p.df + 0.5) / (p.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+         ), 4) AS DOUBLE) AS score
+  FROM q JOIN postdf p ON p.term = q.term CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+)
+SELECT query_id, doc_id, score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+)
+WHERE rn <= 10
+ORDER BY query_id, score DESC, doc_id
+"""
+_BM25_DUCK = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(t)) AS avgdl FROM toks
+), q AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(t[5:7])) AS term
+  FROM toks WHERE doc_id % 50 = 0 AND len(t) >= 7
+), post AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
+  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+  WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), postdf AS (
+  SELECT *, CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df FROM post
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(round(SUM(
+           ln((s.n_docs - p.df + 0.5) / (p.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+         ), 4) AS DOUBLE) AS score
+  FROM q JOIN postdf p ON p.term = q.term CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+)
+SELECT query_id, doc_id, score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) r
+WHERE rn <= 10
+ORDER BY query_id, score DESC, doc_id
+"""
+
+
+# Embedding-space benchmark decontamination (the semantic complement to the
+# n-gram/Bloom decontaminations): flag corpus vectors whose max cosine to
+# ANY benchmark vector clears a threshold.  Benchmark = vec_id % 7 = 0 (a
+# deterministic ~1/7 slice, benchmark-suite-sized relative to the corpus);
+# threshold 0.42 sits in the synth corpus's weak-similarity regime (the
+# driver corpus has no cos>=0.8 pairs — same regime the LSH twin tests use).
+_EMB_DECON_THRESHOLD = 0.42
+
+
+def _embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-cosine flag of corpus embeddings vs a benchmark set, map-only:
+    the benchmark matrix is collected (bounded: benchmark-suite-sized, the
+    Bloom-bitmap precedent) and numpy-broadcast; one Arrow pass streams the
+    corpus and does a single matmul per batch against the pre-normalized
+    benchmark — NO shuffle, NO corpus×benchmark intermediate ever
+    materialized.  This is the honest 100 TB plan for |benchmark| ~ 10^5:
+    brute-force max-sim IS optimal when one side broadcasts.  Cosines
+    rounded to 4dp before argmax so the nearest-benchmark attribution and
+    the threshold test are cross-engine identical (ties → lowest bench_id,
+    matching the twin's ORDER BY cos DESC, bench_id ASC).  TWIN_SQL gate:
+    exact equality vs a DuckDB cross-join + window twin at sf0.01."""
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return embedding_decontaminate_frame(
+        emb.filter("vec_id % 7 <> 0").select("vec_id", "embedding"),
+        emb.filter("vec_id % 7 = 0").select("vec_id", "embedding"),
+        _EMB_DECON_THRESHOLD,
+    ).orderBy("vec_id")
+
+
+def embedding_decontaminate_frame(
+    corpus: DataFrame, bench: DataFrame, threshold: float
+) -> DataFrame:
+    """Core of embedding_decontaminate over explicit (vec_id, embedding)
+    frames — separated so tests can run it on engineered vectors."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    bench_rows = bench.orderBy("vec_id").collect()
+    bench_ids = np.array([r["vec_id"] for r in bench_rows], dtype=np.int64)
+    bmat = np.array([list(r["embedding"]) for r in bench_rows], dtype=np.float64)
+    bnorm = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((bench_ids, bnorm))
+
+    def score(batches):
+        ids, bn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            sims = np.round(xn @ bn.T, 4)
+            j = sims.argmax(axis=1)  # first max = lowest bench_id on ties
+            m = sims[np.arange(len(x)), j]
+            keep = m >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "bench_id": ids[j[keep]],
+                    "max_cos": m[keep],
+                }
+            )
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return corpus.select("vec_id", "embedding").repartition(n_parts).mapInPandas(
+        score, schema="vec_id bigint, bench_id bigint, max_cos double"
+    )
+
+
+_EMB_DECON_DUCK = """
+WITH bench AS (
+  SELECT vec_id AS bench_id, embedding FROM embeddings WHERE vec_id % 7 = 0
+), corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0
+), scored AS (
+  SELECT c.vec_id, b.bench_id,
+         CAST(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4)
+              AS DOUBLE) AS cos_sim
+  FROM corpus c CROSS JOIN bench b
+)
+SELECT vec_id, bench_id, cos_sim AS max_cos
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_sim DESC, bench_id ASC) AS rn
+  FROM scored
+) r
+WHERE rn = 1 AND cos_sim >= 0.42
+ORDER BY vec_id
+"""
+
+
+def _hostgraph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (fixed 20 rounds) over the synth host graph
+    — the crawl-seeding complement to hostgraph_pagerank: hubs are the
+    link pages worth re-crawling for discovery, authorities the content
+    hosts worth keeping.  Scores emitted as nano-fixed-point BIGINTs for
+    atomic deterministic output.  Rows-only: gates in tests/test_webgraph.py
+    (numpy same-iterate twin ±2 nano, hand graph, L1 mass)."""
+    from pyspark.sql import functions as F
+
+    from .webgraph import extract_outlinks, hits, host_graph
+
+    pages = _webgraph_pages(spark)
+    hs = hits(host_graph(extract_outlinks(pages)), max_iter=20)
+    return hs.select(
+        "host",
+        F.rint(F.col("hub") * 1e9).cast("bigint").alias("hub_nano"),
+        F.rint(F.col("authority") * 1e9).cast("bigint").alias("auth_nano"),
+    ).orderBy(F.col("auth_nano").desc(), "host")
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     #
@@ -4400,6 +4599,9 @@ QUERIES: dict[str, tuple] = {
     "url_blocklist_filter": (_url_blocklist_filter, None),
     "leakage_safe_split": (_leakage_safe_split, None),
     "phrase_search": (_sql(_PHRASE_SPARK), None),
+    "bm25_search": (_sql(_BM25_SPARK), None),
+    "embedding_decontaminate": (_embedding_decontaminate, None),
+    "hostgraph_hits": (_hostgraph_hits, None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL
@@ -4428,4 +4630,6 @@ TWIN_SQL: dict[str, str] = {
     "source_drift_kl": _SOURCE_KL_DUCK,
     "crawl_revisit_schedule": _REVISIT_DUCK,
     "phrase_search": _PHRASE_DUCK,
+    "bm25_search": _BM25_DUCK,
+    "embedding_decontaminate": _EMB_DECON_DUCK,
 }

@@ -410,3 +410,133 @@ def pagerank(
     for h in prev_handles:
         caches.register(h)
     return ranks.select("host", "rank")
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999 — public algorithm)
+# ---------------------------------------------------------------------------
+
+
+def hits(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Weighted HITS over (src_host, dst_host, n_links) edges →
+    (host, hub, authority), each vector L1-normalized to sum 1.
+
+    The mutually-recursive power iteration: authority(v) = Σ over in-edges
+    of hub(u)·w, hub(u) = Σ over out-edges of authority(v)·w — the classic
+    complement to PageRank for crawl seeding (hubs = link pages worth
+    re-crawling for discovery, authorities = content pages worth keeping).
+
+    Scale shape (same discipline as ``pagerank``):
+
+    - Edges are persisted TWICE, pre-partitioned on src_host and on
+      dst_host — each round's two joins then shuffle only the host-sized
+      score frame, never the edge table.
+    - Per-iteration normalization is deferred: each round consumes the
+      previous round's hub vector scaled by the driver-scalar sum from the
+      previous materializing action (per-round rescaling is a global
+      constant, so the converged direction — the principal eigenvectors of
+      WᵀW / WWᵀ — is unchanged; it only keeps magnitudes bounded).  The
+      true L1 normalization happens once, on the final vectors.
+    - Two jobs per round, both flat-lineage: an eager localCheckpoint on
+      the authority frame (it feeds BOTH the hub join and the new state —
+      unpersisted it would recompute the round's first join twice inside
+      one job), then a lazy localCheckpoint on the new state whose
+      materializing action is the sums aggregate that the NEXT round's
+      scaling needs anyway.  Previous-generation blocks are released only
+      after that action (repo invariant: a lazy checkpoint reads its
+      parent; truncated lineage cannot recompute).
+    - Fixed ``max_iter`` rounds (the batch operating point, matching the
+      registry's fixed-20-round pagerank): deterministic output and
+      bounded driver time; a convergence delta would cost a second scan
+      per round for a loop that runs ~20 rounds regardless.
+    """
+    from . import caches
+
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+
+    edges = edges.persist()
+    # unlike pagerank, the node frame is re-joined EVERY round (zero-fill of
+    # hosts missing from a round's sums) — persist it or each round re-runs
+    # the distinct shuffle
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionAll(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        edges.unpersist()
+        return spark.createDataFrame([], "host string, hub double, authority double")
+
+    w = edges.select("src_host", "dst_host", F.col("n_links").cast("double").alias("w"))
+    by_src = w.repartition(sc.defaultParallelism, "src_host").persist()
+    by_dst = w.repartition(sc.defaultParallelism, "dst_host").persist()
+
+    before = caches.persistent_ids(sc)
+    state = nodes.select(
+        "host", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("authority")
+    ).localCheckpoint(eager=False)
+    prev_handles = caches.checkpoint_handles_since(sc, before)
+    sh = state.agg(F.sum("hub")).first()[0]
+
+    for _ in range(max_iter):
+        # authority ← in-edge hubs (input hub scaled to unit L1 mass)
+        before = caches.persistent_ids(sc)
+        a_raw = (
+            state.select(F.col("host").alias("src_host"), "hub")
+            .join(by_src, "src_host")
+            .select(
+                F.col("dst_host").alias("host"),
+                (F.col("hub") * F.lit(1.0 / sh) * F.col("w")).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("a_raw"))
+            .localCheckpoint()  # eager: consumed by the hub join AND the state
+        )
+        araw_handles = caches.checkpoint_handles_since(sc, before)
+        # hub ← out-edge authorities (unnormalized a_raw: a global constant,
+        # absorbed by the final normalization)
+        h_raw = (
+            a_raw.select(F.col("host").alias("dst_host"), "a_raw")
+            .join(by_dst, "dst_host")
+            .select(
+                F.col("src_host").alias("host"),
+                (F.col("a_raw") * F.col("w")).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("h_raw"))
+        )
+        before = caches.persistent_ids(sc)
+        state = (
+            nodes.join(a_raw, "host", "left")
+            .join(h_raw, "host", "left")
+            .select(
+                "host",
+                F.coalesce("h_raw", F.lit(0.0)).alias("hub"),
+                F.coalesce("a_raw", F.lit(0.0)).alias("authority"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur_handles = caches.checkpoint_handles_since(sc, before)
+        sh = state.agg(F.sum("hub")).first()[0]
+        for h in prev_handles:
+            h.unpersist()
+        for h in araw_handles:
+            h.unpersist()
+        prev_handles = cur_handles
+
+    sa = state.agg(F.sum("authority")).first()[0]
+    by_src.unpersist()
+    by_dst.unpersist()
+    nodes.unpersist()
+    edges.unpersist()
+    for h in prev_handles:
+        caches.register(h)
+    return state.select(
+        "host",
+        (F.col("hub") / F.lit(sh)).alias("hub"),
+        (F.col("authority") / F.lit(sa)).alias("authority"),
+    )

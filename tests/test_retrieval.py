@@ -1,0 +1,121 @@
+"""Retrieval-operator gates beyond the DuckDB twin equality
+(test_queries_oracle folds bm25_search + embedding_decontaminate into the
+exact rows+columns+values gate):
+
+- BM25: hand-computed scores on an engineered 4-doc corpus pin the formula
+  constants (k1=1.2, b=0.75, Lucene non-negative idf) independently of the
+  twin — a shared formula mistake in both SQL dialects would pass the twin
+  gate but fail here.
+- embedding_decontaminate: planted vectors (an exact benchmark copy, a
+  near-copy above threshold, an orthogonal vector) pin flag soundness and
+  nearest-benchmark attribution, including the lowest-bench-id tie-break.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from extractor_spark.spark.queries import (
+    _BM25_SPARK,
+    _EMB_DECON_THRESHOLD,
+    QUERIES,
+    TWIN_SQL,
+    embedding_decontaminate_frame,
+)
+
+pytestmark = pytest.mark.spark
+
+
+# ---------------------------------------------------------------------------
+# BM25 formula pin
+# ---------------------------------------------------------------------------
+
+_DOCS = [
+    # doc 0 is the query doc (0 % 50 == 0, >= 7 tokens): query terms are
+    # tokens 5..7 = apple banana cherry
+    (0, "w1 w2 w3 w4 apple banana cherry"),
+    (1, "apple apple banana x y z q r"),
+    (2, "cherry v w"),
+    (3, "nothing matches here at all"),
+]
+
+
+def _bm25(tf: float, df: float, dl: float, n_docs: float, avgdl: float) -> float:
+    idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+
+def test_bm25_hand_corpus(spark):
+    spark.createDataFrame(_DOCS, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    rows = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in spark.sql(_BM25_SPARK).collect()
+    }
+    n, avgdl = 4.0, (7 + 8 + 3 + 5) / 4.0
+    want = {
+        # doc 0: tf 1 for each of the 3 terms, dl 7; df(apple)=df(banana)=2
+        # (docs 0,1), df(cherry)=2 (docs 0,2)
+        (0, 0): sum(_bm25(1, 2, 7, n, avgdl) for _ in range(3)),
+        (0, 1): _bm25(2, 2, 8, n, avgdl) + _bm25(1, 2, 8, n, avgdl),
+        (0, 2): _bm25(1, 2, 3, n, avgdl),
+    }
+    assert set(rows) == set(want)
+    for key, score in want.items():
+        assert abs(rows[key] - score) < 1e-4, key
+
+
+def test_bm25_twin_dialects_stay_aligned():
+    # the two dialects must keep identical constants; a drive-by edit to one
+    # side shows up as a constant-set mismatch here before the twin gate runs
+    duck = TWIN_SQL["bm25_search"]
+    for magic in ("2.2", "1.2", "0.25", "0.75", "0.5", "ln(", "rn <= 10"):
+        assert magic in _BM25_SPARK and magic in duck, magic
+
+
+# ---------------------------------------------------------------------------
+# embedding decontamination planted gates
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_decon_planted(spark):
+    dim = 8
+
+    def vec(*pairs):
+        v = [0.0] * dim
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    bench = spark.createDataFrame(
+        [(10, vec((0, 1.0))), (20, vec((1, 1.0)))],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, vec((0, 2.0))),            # exact direction copy of bench 10
+            (2, vec((0, 1.0), (1, 1.0))),  # cos ~0.7071 to BOTH → tie → bench 10
+            (3, vec((2, 1.0))),            # orthogonal to both → not flagged
+            (4, vec((1, 1.0), (2, 3.0))),  # cos ~0.316 to bench 20 → below 0.42
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["bench_id"], r["max_cos"])
+        for r in embedding_decontaminate_frame(
+            corpus, bench, _EMB_DECON_THRESHOLD
+        ).collect()
+    }
+    assert got == {1: (10, 1.0), 2: (10, 0.7071)}
+
+
+def test_registry_tail_and_threshold():
+    names = list(QUERIES)
+    for q in ("bm25_search", "embedding_decontaminate", "hostgraph_hits"):
+        assert QUERIES[q][1] is None
+        assert names.index(q) >= 50
+    # twin SQL hard-codes the threshold: keep the constant in sync
+    assert f">= {_EMB_DECON_THRESHOLD}" in TWIN_SQL["embedding_decontaminate"]

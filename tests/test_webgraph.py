@@ -21,6 +21,7 @@ from extractor_spark.spark.queries import QUERIES, release_query_caches
 from extractor_spark.spark.synth import _synth_row
 from extractor_spark.spark.webgraph import (
     extract_outlinks,
+    hits,
     host_graph,
     page_outlinks,
     pagerank,
@@ -268,9 +269,93 @@ def test_pagerank_dangling_hand_graph(spark):
         assert abs(got[h] - want[h]) < 1e-12
 
 
+def numpy_hits(edges: dict, iters=20):
+    """Reference HITS mirroring webgraph.hits's exact recurrence (input hub
+    scaled by the previous round's L1 sum, normalization deferred to the
+    end) so same-``iters`` runs agree to floating-point noise."""
+    hosts = sorted({h for e in edges for h in e})
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    w = np.zeros((n, n))
+    for (s, d), wt in edges.items():
+        w[idx[s], idx[d]] = wt
+    hub = np.full(n, 1.0 / n)
+    auth = np.full(n, 1.0 / n)
+    sh = hub.sum()
+    for _ in range(iters):
+        auth = w.T @ (hub / sh)
+        hub = w @ auth
+        sh = hub.sum()
+    return (
+        {h: hub[idx[h]] / sh for h in hosts},
+        {h: auth[idx[h]] / auth.sum() for h in hosts},
+    )
+
+
+def test_hits_matches_numpy_twin(spark):
+    import pandas as pd
+
+    edges = twin_host_edges()
+    edf = spark.createDataFrame(
+        pd.DataFrame(
+            [(s, d, w) for (s, d), w in edges.items()],
+            columns=["src_host", "dst_host", "n_links"],
+        )
+    )
+    rows = hits(edf, max_iter=20).collect()
+    release_query_caches()
+    got_hub = {r["host"]: r["hub"] for r in rows}
+    got_auth = {r["host"]: r["authority"] for r in rows}
+    want_hub, want_auth = numpy_hits(edges, iters=20)
+    assert set(got_hub) == set(want_hub)
+    assert abs(sum(got_hub.values()) - 1.0) < 1e-9
+    assert abs(sum(got_auth.values()) - 1.0) < 1e-9
+    for h in want_hub:
+        assert abs(got_hub[h] - want_hub[h]) < 1e-9, h
+        assert abs(got_auth[h] - want_auth[h]) < 1e-9, h
+
+
+def test_hits_hand_graph(spark):
+    # a→b, a→c, b→c: a is the pure hub (links both authorities); c the top
+    # authority (cited by both); a gets zero authority, c zero hub.
+    edf = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 1), ("b", "c", 1)],
+        "src_host string, dst_host string, n_links int",
+    )
+    rows = hits(edf, max_iter=30).collect()
+    release_query_caches()
+    hub = {r["host"]: r["hub"] for r in rows}
+    auth = {r["host"]: r["authority"] for r in rows}
+    assert hub["a"] > hub["b"] > hub["c"] == 0.0
+    assert auth["c"] > auth["b"] > auth["a"] == 0.0
+    want_hub, want_auth = numpy_hits(
+        {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}, iters=30
+    )
+    for h in want_hub:
+        assert abs(hub[h] - want_hub[h]) < 1e-12
+        assert abs(auth[h] - want_auth[h]) < 1e-12
+
+
+def test_hits_wrapper_mass_and_determinism(spark):
+    df = QUERIES["hostgraph_hits"][0](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    release_query_caches()
+    assert [f.name for f in df.schema] == ["host", "hub_nano", "auth_nano"]
+    assert abs(sum(r["hub_nano"] for r in rows) - 1_000_000_000) < 200
+    assert abs(sum(r["auth_nano"] for r in rows) - 1_000_000_000) < 200
+    rows2 = QUERIES["hostgraph_hits"][0](spark, "/root/testdata/sf0.001").collect()
+    release_query_caches()
+    assert [tuple(r) for r in rows2] == [tuple(r) for r in rows]
+
+
 def test_registry_entries_rows_only_at_tail(spark):
     names = list(QUERIES)
-    for q in ("outlink_hostgraph", "hostgraph_pagerank", "anchor_text_terms"):
+    for q in (
+        "outlink_hostgraph",
+        "hostgraph_pagerank",
+        "anchor_text_terms",
+        "hostgraph_hits",
+    ):
         assert q in QUERIES
         assert QUERIES[q][1] is None
         assert names.index(q) >= 50
