@@ -4279,10 +4279,12 @@ ORDER BY q.phrase_id, tri.doc_id
 """
 
 
-# BM25 ranked retrieval (Robertson & Sparck Jones / Okapi BM25, k1=1.2,
-# b=0.75, Lucene's non-negative idf variant ln(1 + (N-df+0.5)/(df+0.5))) —
-# the classic bag-of-words ranking over an inverted index, the retrieval
-# complement to phrase_search's exact positional matching.  Query set is
+# BATCH BM25 ranked retrieval (same Okapi constants as the single-probe
+# bm25_topk above: k1=1.2, b=0.75, Lucene's non-negative idf).  Where
+# bm25_topk scores ONE fixed 4-term query with a map-only per-row array
+# filter, this is the batch-serving shape: a query SET joined against
+# exploded postings — the retrieval complement to phrase_search's exact
+# positional matching.  Query set is
 # deterministic from the corpus (the 3 distinct tokens at positions 5..7 of
 # every 50th doc).  Scale shape: the query-term set is tiny, so the
 # IN-subquery semi-join broadcasts and the corpus explode FILTERS to query
@@ -4292,7 +4294,7 @@ ORDER BY q.phrase_id, tri.doc_id
 # second corpus pass; doc lengths/avgdl are a separate no-explode pass.
 # Scores rounded to 4dp so ranking is cross-engine identical (the
 # embedding-query precedent); ties break on doc_id.
-_BM25_SPARK = """
+_BM25_BATCH_SPARK = """
 WITH toks AS (
   SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS t FROM documents
 ), stats AS (
@@ -4329,7 +4331,7 @@ FROM (
 WHERE rn <= 10
 ORDER BY query_id, score DESC, doc_id
 """
-_BM25_DUCK = """
+_BM25_BATCH_DUCK = """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
   FROM documents
@@ -4599,7 +4601,7 @@ QUERIES: dict[str, tuple] = {
     "url_blocklist_filter": (_url_blocklist_filter, None),
     "leakage_safe_split": (_leakage_safe_split, None),
     "phrase_search": (_sql(_PHRASE_SPARK), None),
-    "bm25_search": (_sql(_BM25_SPARK), None),
+    "bm25_search": (_sql(_BM25_BATCH_SPARK), None),
     "embedding_decontaminate": (_embedding_decontaminate, None),
     "hostgraph_hits": (_hostgraph_hits, None),
 }
@@ -4630,6 +4632,6 @@ TWIN_SQL: dict[str, str] = {
     "source_drift_kl": _SOURCE_KL_DUCK,
     "crawl_revisit_schedule": _REVISIT_DUCK,
     "phrase_search": _PHRASE_DUCK,
-    "bm25_search": _BM25_DUCK,
+    "bm25_search": _BM25_BATCH_DUCK,
     "embedding_decontaminate": _EMB_DECON_DUCK,
 }

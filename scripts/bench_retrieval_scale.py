@@ -1,0 +1,131 @@
+"""Scale probe for the round-5 session-5 operators (bm25_search,
+hostgraph_hits, embedding_decontaminate) well past the driver gates.
+
+- BM25 (default 1M tiled docs, 200-query batch): the tiled corpus is the
+  documented adversarial regime for term-driven retrieval (tiny vocab —
+  every base doc has ~2000 copies, so query terms match tens of thousands
+  of docs).  The probe uses a 1-in-5000 query predicate (200 queries at
+  1M docs) instead of the registry's 1-in-50: a 20k-query batch over a
+  2000x-duplicated corpus multiplies scored rows ~40x for no extra signal
+  (same lesson as the phrase-index worst case in spark/phraseindex.py).
+- HITS (default 200k hosts / 2M edges, 10 rounds): synthetic power-law-ish
+  host graph built from hash expressions (deterministic, distributed, no
+  driver materialization); per-round cost should be flat — the probe
+  records total and per-round seconds.
+- embedding_decontaminate (default 500k x 64-dim corpus vs 1k-vector
+  benchmark): the broadcast-matmul Arrow pass; throughput scales linearly
+  with executors (map-only).
+
+Usage: python scripts/bench_retrieval_scale.py [--docs 1000000]
+       [--hosts 200000] [--edges 2000000] [--vecs 500000]
+Writes one JSON line; redirect to BENCH/ to record.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench_new_ops_r5 import synth_embeddings, tiled_documents  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--hosts", type=int, default=200_000)
+    ap.add_argument("--edges", type=int, default=2_000_000)
+    ap.add_argument("--vecs", type=int, default=500_000)
+    ap.add_argument("--hits-rounds", type=int, default=10)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from extractor_spark.spark.session import get_spark
+
+    spark = get_spark("retrieval-scale-r5", cpus=32)
+    out: dict = {
+        "docs": args.docs,
+        "hosts": args.hosts,
+        "edges": args.edges,
+        "vecs": args.vecs,
+    }
+
+    # ---- BM25 over tiled docs, 200-query batch -------------------------
+    from extractor_spark.spark.queries import _BM25_BATCH_SPARK
+
+    docs = tiled_documents(spark, args.docs)
+    docs.createOrReplaceTempView("documents")
+    # query modulus must be coprime to the 500-doc tile period, else every
+    # query doc is a copy of the SAME base doc (200 identical queries whose
+    # shared hot terms quadratically inflate the scored join — measured 41 s
+    # vs ~8 s at 100k docs)
+    q_mod = args.docs // 200
+    while q_mod % 2 == 0 or q_mod % 5 == 0:
+        q_mod += 1
+    probe_sql = _BM25_BATCH_SPARK.replace("% 50 = 0", f"% {q_mod} = 0")
+    t0 = time.time()
+    out["bm25_rows"] = spark.sql(probe_sql).count()
+    out["bm25_s"] = round(time.time() - t0, 2)
+    docs.unpersist()
+
+    # ---- HITS over a synthetic power-law host graph --------------------
+    from extractor_spark.spark.webgraph import hits
+
+    n_hosts = args.hosts
+    edges = (
+        spark.range(args.edges, numPartitions=32)
+        .selectExpr(
+            f"concat('h', pmod(hash(id), {n_hosts})) AS src_host",
+            # nested mod biases destinations toward low host ids → a
+            # heavy-tailed in-degree distribution (authority skew)
+            f"concat('h', pmod(hash(id + 7), 1 + pmod(hash(id + 13), {n_hosts}))) AS dst_host",
+            "CAST(1 + pmod(hash(id + 29), 3) AS INT) AS n_links",
+        )
+        .filter("src_host <> dst_host")
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum("n_links").cast("int").alias("n_links"))
+    )
+    t0 = time.time()
+    hs = hits(edges, max_iter=args.hits_rounds)
+    row = hs.agg(
+        F.count("*").alias("n"),
+        F.sum("hub").alias("sh"),
+        F.sum("authority").alias("sa"),
+    ).first()
+    dt = time.time() - t0
+    out["hits_hosts"] = row["n"]
+    out["hits_mass"] = [round(row["sh"], 9), round(row["sa"], 9)]
+    out["hits_s"] = round(dt, 2)
+    out["hits_s_per_round"] = round(dt / args.hits_rounds, 2)
+    from extractor_spark.spark.queries import release_query_caches
+
+    release_query_caches()
+
+    # ---- embedding decontamination, broadcast matmul pass --------------
+    from extractor_spark.spark.queries import (
+        _EMB_DECON_THRESHOLD,
+        embedding_decontaminate_frame,
+    )
+
+    emb = synth_embeddings(spark, args.vecs)
+    corpus = emb.filter("vec_id >= 1000")
+    bench = emb.filter("vec_id < 1000")
+    t0 = time.time()
+    out["decon_flagged"] = embedding_decontaminate_frame(
+        corpus, bench, _EMB_DECON_THRESHOLD
+    ).count()
+    dt = time.time() - t0
+    out["decon_s"] = round(dt, 2)
+    out["decon_vecs_per_s"] = round((args.vecs - 1000) / dt)
+    emb.unpersist()
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

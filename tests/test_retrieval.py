@@ -18,7 +18,7 @@ import math
 import pytest
 
 from extractor_spark.spark.queries import (
-    _BM25_SPARK,
+    _BM25_BATCH_SPARK,
     _EMB_DECON_THRESHOLD,
     QUERIES,
     TWIN_SQL,
@@ -53,7 +53,7 @@ def test_bm25_hand_corpus(spark):
     )
     rows = {
         (r["query_id"], r["doc_id"]): r["score"]
-        for r in spark.sql(_BM25_SPARK).collect()
+        for r in spark.sql(_BM25_BATCH_SPARK).collect()
     }
     n, avgdl = 4.0, (7 + 8 + 3 + 5) / 4.0
     want = {
@@ -73,7 +73,7 @@ def test_bm25_twin_dialects_stay_aligned():
     # side shows up as a constant-set mismatch here before the twin gate runs
     duck = TWIN_SQL["bm25_search"]
     for magic in ("2.2", "1.2", "0.25", "0.75", "0.5", "ln(", "rn <= 10"):
-        assert magic in _BM25_SPARK and magic in duck, magic
+        assert magic in _BM25_BATCH_SPARK and magic in duck, magic
 
 
 # ---------------------------------------------------------------------------
