@@ -4480,6 +4480,132 @@ def _hostgraph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("auth_nano").desc(), "host")
 
 
+# Margin-based bitext mining (Artetxe & Schwenk 2019 "Margin-based
+# Parallel Corpus Mining with Multilingual Sentence Embeddings"; the
+# LASER/CCMatrix criterion).  Two "language" sides are the label-parity
+# halves of the embeddings table; a candidate pair's score is its cosine
+# divided by the mean of both endpoints' average top-k cosines (the ratio
+# margin), which cancels hubness — a vector that is close to EVERYTHING
+# gets a high denominator and mines nothing.  Forward mining: each src
+# keeps its best-margin dst, thresholded.
+#
+# Scale shape: the registry form scores all A×B pairs — the deliberate
+# EXACT baseline (the knn_join ↔ ivf_topk pattern): at 100 TB the scored
+# CTE is replaced by IVF-cell-restricted candidates (spark/ivf.py) and the
+# top-k degree estimates come from the same candidate set.  The scored
+# frame is computed ONCE and persisted (it feeds ka/kb/m — inline CTEs
+# would re-run the cross join 3×, the documented multi-consumption trap).
+_BITEXT_K = 4
+_BITEXT_THRESHOLD = 1.2
+
+_BITEXT_COS = """
+         CAST(round(
+           aggregate(zip_with(a.embedding, b.embedding,
+                              (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                     0D, (acc, v) -> acc + v)
+           / (sqrt(aggregate(a.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+              * sqrt(aggregate(b.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+         , 4) AS DOUBLE) AS c
+"""
+
+_BITEXT_SCORED_SPARK = f"""
+SELECT a.vec_id AS src, b.vec_id AS dst,
+{_BITEXT_COS}
+FROM (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0) a
+CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 1) b
+"""
+
+_BITEXT_MINE_SPARK = f"""
+WITH ka AS (
+  SELECT src, avg(c) AS deg_a FROM (
+    SELECT src, c, row_number() OVER (PARTITION BY src
+                                      ORDER BY c DESC, dst ASC) AS rn
+    FROM bitext_scored
+  ) WHERE rn <= {_BITEXT_K} GROUP BY src
+), kb AS (
+  SELECT dst, avg(c) AS deg_b FROM (
+    SELECT dst, c, row_number() OVER (PARTITION BY dst
+                                      ORDER BY c DESC, src ASC) AS rn
+    FROM bitext_scored
+  ) WHERE rn <= {_BITEXT_K} GROUP BY dst
+), m AS (
+  SELECT s.src, s.dst, s.c,
+         CAST(round(s.c / ((ka.deg_a + kb.deg_b) / 2), 4) AS DOUBLE) AS margin
+  FROM bitext_scored s
+  JOIN ka ON ka.src = s.src
+  JOIN kb ON kb.dst = s.dst
+)
+SELECT src, dst, c AS cos_sim, margin
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY src
+                               ORDER BY margin DESC, dst ASC) AS rn
+  FROM m
+)
+WHERE rn = 1 AND margin >= {_BITEXT_THRESHOLD}
+ORDER BY src
+"""
+
+
+def _bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining over the label-parity halves of the
+    embeddings table (ratio margin, k=4, forward direction, margin≥1.2).
+    TWIN_SQL gate: exact equality vs a DuckDB CTE twin at sf0.01; planted
+    hub-vector gates in tests/test_retrieval.py."""
+    _views(spark, sf_dir)
+    return bitext_margin_mine_frame(spark.table("embeddings"))
+
+
+def bitext_margin_mine_frame(emb: DataFrame) -> DataFrame:
+    """Mining core over an explicit (vec_id, embedding, label) frame —
+    separated so tests can run it on engineered hub/pair vectors."""
+    spark = emb.sparkSession
+    emb.createOrReplaceTempView("bitext_emb")
+    scored = spark.sql(
+        _BITEXT_SCORED_SPARK.replace("FROM embeddings", "FROM bitext_emb")
+    ).persist()
+    caches.register(scored)
+    scored.createOrReplaceTempView("bitext_scored")
+    return spark.sql(_BITEXT_MINE_SPARK)
+
+
+_BITEXT_DUCK = f"""
+WITH scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4)
+              AS DOUBLE) AS c
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0) a
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 1) b
+), ka AS (
+  SELECT src, avg(c) AS deg_a FROM (
+    SELECT src, c, row_number() OVER (PARTITION BY src
+                                      ORDER BY c DESC, dst ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {_BITEXT_K} GROUP BY src
+), kb AS (
+  SELECT dst, avg(c) AS deg_b FROM (
+    SELECT dst, c, row_number() OVER (PARTITION BY dst
+                                      ORDER BY c DESC, src ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {_BITEXT_K} GROUP BY dst
+), m AS (
+  SELECT s.src, s.dst, s.c,
+         CAST(round(s.c / ((ka.deg_a + kb.deg_b) / 2), 4) AS DOUBLE) AS margin
+  FROM scored s
+  JOIN ka ON ka.src = s.src
+  JOIN kb ON kb.dst = s.dst
+)
+SELECT src, dst, c AS cos_sim, margin
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY src
+                               ORDER BY margin DESC, dst ASC) AS rn
+  FROM m
+) r
+WHERE rn = 1 AND margin >= {_BITEXT_THRESHOLD}
+ORDER BY src
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     #
@@ -4604,6 +4730,7 @@ QUERIES: dict[str, tuple] = {
     "bm25_search": (_sql(_BM25_BATCH_SPARK), None),
     "embedding_decontaminate": (_embedding_decontaminate, None),
     "hostgraph_hits": (_hostgraph_hits, None),
+    "bitext_margin_mine": (_bitext_margin_mine, None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL
@@ -4634,4 +4761,5 @@ TWIN_SQL: dict[str, str] = {
     "phrase_search": _PHRASE_DUCK,
     "bm25_search": _BM25_BATCH_DUCK,
     "embedding_decontaminate": _EMB_DECON_DUCK,
+    "bitext_margin_mine": _BITEXT_DUCK,
 }

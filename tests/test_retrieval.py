@@ -18,11 +18,15 @@ import math
 import pytest
 
 from extractor_spark.spark.queries import (
+    _BITEXT_K,
+    _BITEXT_THRESHOLD,
     _BM25_BATCH_SPARK,
     _EMB_DECON_THRESHOLD,
     QUERIES,
     TWIN_SQL,
+    bitext_margin_mine_frame,
     embedding_decontaminate_frame,
+    release_query_caches,
 )
 
 pytestmark = pytest.mark.spark
@@ -112,10 +116,86 @@ def test_embedding_decon_planted(spark):
     assert got == {1: (10, 1.0), 2: (10, 0.7071)}
 
 
+# ---------------------------------------------------------------------------
+# bitext margin mining planted gates
+# ---------------------------------------------------------------------------
+
+
+def _numpy_bitext(a: dict, b: dict, k: int, thr: float):
+    """Independent numpy replica of the margin criterion (rounded 4dp like
+    both SQL dialects; top-k and argmax tie-break on the partner id)."""
+    import numpy as np
+
+    def cos(x, y):
+        x, y = np.asarray(x, float), np.asarray(y, float)
+        return round(float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y))), 4)
+
+    c = {(s, d): cos(a[s], b[d]) for s in a for d in b}
+    deg_a = {
+        s: float(np.mean(sorted((c[(s, d)] for d in b), reverse=True)[:k]))
+        for s in a
+    }
+    deg_b = {
+        d: float(np.mean(sorted((c[(s, d)] for s in a), reverse=True)[:k]))
+        for d in b
+    }
+    mined = {}
+    for s in a:
+        best = min(b, key=lambda d: (-round(c[(s, d)] / ((deg_a[s] + deg_b[d]) / 2), 4), d))
+        m = round(c[(s, best)] / ((deg_a[s] + deg_b[best]) / 2), 4)
+        if m >= thr:
+            mined[s] = (best, c[(s, best)], m)
+    return mined
+
+
+def test_bitext_margin_hub_cancellation(spark):
+    # dst 11 pairs ONLY with src 1; dst 10 is a HUB equally close to srcs
+    # 2..6.  Both pairings have the SAME cosine — the margin criterion must
+    # rank the exclusive pair above the hub pairs (hubness cancellation).
+    a = {
+        1: [1.0, 0.0, 0.0, 0.0],
+        2: [0.0, 1.0, 0.1, 0.0],
+        3: [0.0, 1.0, -0.1, 0.0],
+        4: [0.0, 1.0, 0.0, 0.1],
+        5: [0.0, 1.0, 0.0, -0.1],
+        6: [0.0, 0.9, 0.05, 0.05],
+    }
+    b = {
+        10: [0.0, 1.0, 0.0, 0.0],   # hub: ~0.995 cosine to srcs 2..6
+        11: [1.0, 0.1, 0.0, 0.0],   # exclusive partner of src 1
+        12: [0.0, 0.0, 0.0, 1.0],   # distractor
+    }
+    rows = [(i, v, 0) for i, v in a.items()] + [(i, v, 1) for i, v in b.items()]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r["src"]: (r["dst"], r["cos_sim"], r["margin"])
+        for r in bitext_margin_mine_frame(emb).collect()
+    }
+    release_query_caches()
+    want = _numpy_bitext(a, b, _BITEXT_K, _BITEXT_THRESHOLD)
+    assert set(got) == set(want)
+    for s, (dst, c, m) in want.items():
+        gd, gc, gm = got[s]
+        assert gd == dst and abs(gc - c) < 1.5e-4 and abs(gm - m) < 1.5e-4, s
+    # the hubness-cancellation property: src 1's exclusive pair out-margins
+    # every hub pairing despite near-equal cosines
+    assert got[1][0] == 11
+    hub_margins = [m for s, (d, _, m) in got.items() if d == 10]
+    assert all(got[1][2] > hm for hm in hub_margins)
+
+
 def test_registry_tail_and_threshold():
     names = list(QUERIES)
-    for q in ("bm25_search", "embedding_decontaminate", "hostgraph_hits"):
+    for q in (
+        "bm25_search",
+        "embedding_decontaminate",
+        "hostgraph_hits",
+        "bitext_margin_mine",
+    ):
         assert QUERIES[q][1] is None
         assert names.index(q) >= 50
-    # twin SQL hard-codes the threshold: keep the constant in sync
+    # twin SQL hard-codes the thresholds: keep the constants in sync
     assert f">= {_EMB_DECON_THRESHOLD}" in TWIN_SQL["embedding_decontaminate"]
+    assert f">= {_BITEXT_THRESHOLD}" in TWIN_SQL["bitext_margin_mine"]
