@@ -4606,6 +4606,58 @@ ORDER BY src
 """
 
 
+# Region-balanced diversity subsampling (the DataComp/SemDeDup-adjacent
+# "cluster-balanced" selection): partition embedding space into regions and
+# keep at most N vectors per region in a deterministic pseudorandom order,
+# so dense regions are capped and sparse regions fully kept — coverage-
+# preserving subsampling.  Regions here are the 16 axis-sign quadrants of
+# the first 4 dimensions (an axis-aligned hyperplane LSH — cross-engine
+# exact, unlike the xxhash64 hyperplanes of lsh_cosine_buckets); the
+# production path swaps in IVF cells (spark/ivf.py) with identical
+# downstream shape.  Sampling order is the Knuth multiplicative hash used
+# by weighted_sample_topk (cross-engine integer arithmetic).  Plan: ONE
+# window shuffle keyed by region; Spark's WindowGroupLimit prunes each
+# partition to the cap before the exchange.
+_REGION_SAMPLE_CAP = 4
+
+_REGION_SAMPLE_SPARK = """
+WITH bucketed AS (
+  SELECT vec_id, label,
+         (CASE WHEN element_at(embedding, 1) > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN element_at(embedding, 2) > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN element_at(embedding, 3) > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN element_at(embedding, 4) > 0 THEN 8 ELSE 0 END) AS region,
+         pmod(vec_id * 2654435761, 4294967296) AS rkey
+  FROM embeddings
+)
+SELECT CAST(region AS BIGINT) AS region, vec_id, CAST(label AS BIGINT) AS label
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY region ORDER BY rkey, vec_id) AS rn
+  FROM bucketed
+)
+WHERE rn <= 4
+ORDER BY region, vec_id
+"""
+_REGION_SAMPLE_DUCK = """
+WITH bucketed AS (
+  SELECT vec_id, label,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS region,
+         (((vec_id * 2654435761) % 4294967296) + 4294967296) % 4294967296 AS rkey
+  FROM embeddings
+)
+SELECT CAST(region AS BIGINT) AS region, vec_id, CAST(label AS BIGINT) AS label
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY region ORDER BY rkey, vec_id) AS rn
+  FROM bucketed
+) r
+WHERE rn <= 4
+ORDER BY region, vec_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     #
@@ -4731,6 +4783,7 @@ QUERIES: dict[str, tuple] = {
     "embedding_decontaminate": (_embedding_decontaminate, None),
     "hostgraph_hits": (_hostgraph_hits, None),
     "bitext_margin_mine": (_bitext_margin_mine, None),
+    "region_balanced_sample": (_sql(_REGION_SAMPLE_SPARK), None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL
@@ -4762,4 +4815,5 @@ TWIN_SQL: dict[str, str] = {
     "bm25_search": _BM25_BATCH_DUCK,
     "embedding_decontaminate": _EMB_DECON_DUCK,
     "bitext_margin_mine": _BITEXT_DUCK,
+    "region_balanced_sample": _REGION_SAMPLE_DUCK,
 }

@@ -186,6 +186,38 @@ def test_bitext_margin_hub_cancellation(spark):
     assert all(got[1][2] > hm for hm in hub_margins)
 
 
+def test_region_sample_cap_and_coverage(spark):
+    """Per-region cap holds, and no region present in the corpus is left
+    without representatives (coverage preservation — the point of
+    cluster-balanced selection)."""
+    from collections import Counter
+
+    from extractor_spark.spark.queries import _REGION_SAMPLE_CAP
+
+    rows = QUERIES["region_balanced_sample"][0](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    per_region = Counter(r["region"] for r in rows)
+    assert per_region and all(n <= _REGION_SAMPLE_CAP for n in per_region.values())
+    corpus_regions = {
+        r["region"]
+        for r in spark.sql(
+            """SELECT (CASE WHEN element_at(embedding, 1) > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN element_at(embedding, 2) > 0 THEN 2 ELSE 0 END)
+                    + (CASE WHEN element_at(embedding, 3) > 0 THEN 4 ELSE 0 END)
+                    + (CASE WHEN element_at(embedding, 4) > 0 THEN 8 ELSE 0 END)
+                      AS region FROM embeddings"""
+        ).collect()
+    }
+    assert set(per_region) == corpus_regions
+    # dialect constants stay in sync
+    from extractor_spark.spark.queries import _REGION_SAMPLE_SPARK
+
+    for sql in (_REGION_SAMPLE_SPARK, TWIN_SQL["region_balanced_sample"]):
+        assert f"rn <= {_REGION_SAMPLE_CAP}" in sql
+        assert "2654435761" in sql
+
+
 def test_registry_tail_and_threshold():
     names = list(QUERIES)
     for q in (
@@ -193,6 +225,7 @@ def test_registry_tail_and_threshold():
         "embedding_decontaminate",
         "hostgraph_hits",
         "bitext_margin_mine",
+        "region_balanced_sample",
     ):
         assert QUERIES[q][1] is None
         assert names.index(q) >= 50
