@@ -370,6 +370,12 @@ def main() -> None:
         "url_blocklist_filter",
         "leakage_safe_split",
         "phrase_search",
+        # round-5 session-5 additions
+        "bm25_search",
+        "embedding_decontaminate",
+        "hostgraph_hits",
+        "bitext_margin_mine",
+        "region_balanced_sample",
     ]
     from extractor_spark.spark.queries import release_query_caches
 
