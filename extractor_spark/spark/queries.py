@@ -4658,6 +4658,81 @@ ORDER BY region, vec_id
 """
 
 
+# Directed n-gram CONTAINMENT pairs (Broder 1997's resemblance/containment
+# split): c(A→B) = |S(A)∩S(B)| / |S(A)|.  The asymmetric complement of the
+# oracled ngram_jaccard_pairs: a short article quoted whole inside a long
+# page has containment ~1 but Jaccard ~|A|/|B| → the subset-style
+# duplicates Jaccard misses at any threshold (planted contrast in
+# tests/test_retrieval.py).  Same inverted-index skeleton and DF≤128
+# stop-shingle cap as the Jaccard query (one shingle shuffle, star-free
+# pair counts); thresholding and output are FLOOR-milli integers so the
+# gate is cross-engine exact, no float boundary.
+_CONTAINMENT_SPARK = """
+WITH toks AS (
+  SELECT doc_id, split(trim(text), '\\\\s+') AS w FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)) AS shingle
+  FROM toks LATERAL VIEW explode(sequence(1, size(w) - 2)) p AS i
+  WHERE size(w) >= 3
+),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+    FROM sh0
+  ) WHERE df <= 128
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.d1, p.d2,
+       CAST(FLOOR(1000.0 * p.common / s1.n) AS BIGINT) AS c1_milli,
+       CAST(FLOOR(1000.0 * p.common / s2.n) AS BIGINT) AS c2_milli
+FROM pairs p
+JOIN sizes s1 ON p.d1 = s1.doc_id
+JOIN sizes s2 ON p.d2 = s2.doc_id
+WHERE GREATEST(FLOOR(1000.0 * p.common / s1.n),
+               FLOOR(1000.0 * p.common / s2.n)) >= 900
+ORDER BY d1, d2
+"""
+_CONTAINMENT_DUCK = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks WHERE len(w) >= 3
+),
+sh0 AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+    FROM sh0
+  ) WHERE df <= 128
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.d1, p.d2,
+       CAST(FLOOR(1000.0 * p.common / s1.n) AS BIGINT) AS c1_milli,
+       CAST(FLOOR(1000.0 * p.common / s2.n) AS BIGINT) AS c2_milli
+FROM pairs p
+JOIN sizes s1 ON p.d1 = s1.doc_id
+JOIN sizes s2 ON p.d2 = s2.doc_id
+WHERE GREATEST(FLOOR(1000.0 * p.common / s1.n),
+               FLOOR(1000.0 * p.common / s2.n)) >= 900
+ORDER BY d1, d2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
     #
@@ -4784,6 +4859,7 @@ QUERIES: dict[str, tuple] = {
     "hostgraph_hits": (_hostgraph_hits, None),
     "bitext_margin_mine": (_bitext_margin_mine, None),
     "region_balanced_sample": (_sql(_REGION_SAMPLE_SPARK), None),
+    "ngram_containment_pairs": (_sql(_CONTAINMENT_SPARK), None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL
@@ -4816,4 +4892,5 @@ TWIN_SQL: dict[str, str] = {
     "embedding_decontaminate": _EMB_DECON_DUCK,
     "bitext_margin_mine": _BITEXT_DUCK,
     "region_balanced_sample": _REGION_SAMPLE_DUCK,
+    "ngram_containment_pairs": _CONTAINMENT_DUCK,
 }

@@ -218,6 +218,36 @@ def test_region_sample_cap_and_coverage(spark):
         assert "2654435761" in sql
 
 
+# ---------------------------------------------------------------------------
+# containment pairs: the subset-dup that Jaccard misses
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    from extractor_spark.spark.queries import _CONTAINMENT_SPARK, _JACCARD_SPARK
+
+    base = " ".join(f"a{i}" for i in range(12))           # 10 trigram shingles
+    extra = " ".join(f"b{i}" for i in range(90))
+    docs = [
+        (1, base),                   # short article
+        (2, base + " " + extra),     # long page quoting it whole
+        (3, " ".join(f"c{i}" for i in range(40))),  # unrelated
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    cont = {
+        (r["d1"], r["d2"]): (r["c1_milli"], r["c2_milli"])
+        for r in spark.sql(_CONTAINMENT_SPARK).collect()
+    }
+    jac = {(r["d1"], r["d2"]) for r in spark.sql(_JACCARD_SPARK).collect()}
+    # every shingle of doc 1 appears in doc 2 → full directed containment...
+    assert cont[(1, 2)][0] == 1000
+    assert (3 not in {d for p in cont for d in p})
+    # ...but Jaccard ≈ 10/102 — invisible to the symmetric measure
+    assert (1, 2) not in jac
+
+
 def test_registry_tail_and_threshold():
     names = list(QUERIES)
     for q in (
@@ -226,6 +256,7 @@ def test_registry_tail_and_threshold():
         "hostgraph_hits",
         "bitext_margin_mine",
         "region_balanced_sample",
+        "ngram_containment_pairs",
     ):
         assert QUERIES[q][1] is None
         assert names.index(q) >= 50
