@@ -376,6 +376,7 @@ def main() -> None:
         "hostgraph_hits",
         "bitext_margin_mine",
         "region_balanced_sample",
+        "ngram_containment_pairs",
     ]
     from extractor_spark.spark.queries import release_query_caches
 
