@@ -4743,11 +4743,9 @@ QUERIES: dict[str, tuple] = {
     # tests/test_queries_oracle.py::test_oracled_queries_precede_rows_only.
     "pricing_summary": (_sql(_PRICING_SUMMARY), _PRICING_SUMMARY),
     "shipping_priority": (_sql(_SHIPPING_PRIORITY_SPARK), _SHIPPING_PRIORITY_ORACLE),
-    "embedding_quantize": (_sql(_QUANTIZE_SPARK), _QUANTIZE_ORACLE),
     "dedup_latest_event": (_sql(_DEDUP_LATEST_EVENT_SPARK), _DEDUP_LATEST_EVENT_ORACLE),
     "crawl_delta": (_sql(_CRAWL_DELTA), _CRAWL_DELTA),
     "temperature_mixture": (_sql(_TEMPERATURE_MIXTURE), _TEMPERATURE_MIXTURE),
-    "hot_keys": (_sql(_HOT_KEYS), _HOT_KEYS),
     "topk_docs_per_lang": (_sql(_TOPK_DOCS), _TOPK_DOCS),
     "segment_revenue": (_sql(_SEGMENT_REVENUE), _SEGMENT_REVENUE),
     "customers_without_orders": (_sql(_CUSTOMERS_WITHOUT_ORDERS), _CUSTOMERS_WITHOUT_ORDERS),
@@ -4757,7 +4755,6 @@ QUERIES: dict[str, tuple] = {
     "inactive_second_half_users": (_sql(_SET_OPS), _SET_OPS),
     "both_half_users": (_sql(_SET_OPS_INTERSECT), _SET_OPS_INTERSECT),
     "stratified_sample": (_sql(_STRATIFIED_SAMPLE), _STRATIFIED_SAMPLE),
-    "top_bigrams": (_sql(_TOP_BIGRAMS_SPARK), _TOP_BIGRAMS_ORACLE),
     "salted_event_totals": (_sql(_SALTED_AGG_SPARK), _SALTED_AGG_ORACLE),
     "props_k_stats": (_sql(_JSON_PROPS_SPARK), _JSON_PROPS_ORACLE),
     "cust_order_distribution": (_sql(_CUST_ORDER_DIST), _CUST_ORDER_DIST),
@@ -4795,6 +4792,13 @@ QUERIES: dict[str, tuple] = {
     "ngram_decontaminate": (_sql(_NGRAM_DECON_SPARK), _NGRAM_DECON_DUCK),
     "weighted_sample_topk": (_sql(_WEIGHTED_SAMPLE_SPARK), _WEIGHTED_SAMPLE_DUCK),
     "fineweb_filter_chain": (_sql(_FINEWEB_SPARK), _FINEWEB_DUCK),
+    # round-5 session-5 rotation: three retrieval/dedup operators with
+    # exact DuckDB twins promoted into the driver window; three long-stable
+    # trivial one-liners (embedding_quantize, hot_keys, top_bigrams) moved
+    # to the rows-only tail with their oracle SQL kept in TWIN_SQL.
+    "bm25_search": (_sql(_BM25_BATCH_SPARK), _BM25_BATCH_DUCK),
+    "embedding_decontaminate": (_embedding_decontaminate, _EMB_DECON_DUCK),
+    "ngram_containment_pairs": (_sql(_CONTAINMENT_SPARK), _CONTAINMENT_DUCK),
     # ---- rows-only entries (no SQL-expressible oracle, or retired from the
     # driver window with an in-repo twin gate) — keep AFTER every oracled
     # query (driver records only the first 50 registry entries).
@@ -4804,6 +4808,9 @@ QUERIES: dict[str, tuple] = {
     "quality_scores": (_sql(_QUALITY_SPARK), None),
     "bpe_token_counts": (_sql(_BPE_TOKENS_SPARK), None),
     "decontaminate_docs": (_sql(_DECONTAMINATE), None),
+    "embedding_quantize": (_sql(_QUANTIZE_SPARK), None),
+    "hot_keys": (_sql(_HOT_KEYS), None),
+    "top_bigrams": (_sql(_TOP_BIGRAMS_SPARK), None),
     "user_sessions_native": (_sql(_SESSIONS_NATIVE), None),
     "approx_stats": (_sql(_APPROX_STATS), None),
     "minhash_lsh_candidates": (_sql(_MINHASH_CANDIDATES), None),
@@ -4854,12 +4861,9 @@ QUERIES: dict[str, tuple] = {
     "url_blocklist_filter": (_url_blocklist_filter, None),
     "leakage_safe_split": (_leakage_safe_split, None),
     "phrase_search": (_sql(_PHRASE_SPARK), None),
-    "bm25_search": (_sql(_BM25_BATCH_SPARK), None),
-    "embedding_decontaminate": (_embedding_decontaminate, None),
     "hostgraph_hits": (_hostgraph_hits, None),
     "bitext_margin_mine": (_bitext_margin_mine, None),
     "region_balanced_sample": (_sql(_REGION_SAMPLE_SPARK), None),
-    "ngram_containment_pairs": (_sql(_CONTAINMENT_SPARK), None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL
@@ -4877,6 +4881,9 @@ TWIN_SQL: dict[str, str] = {
     "bpe_token_counts": _BPE_TOKENS_ORACLE,
     "decontaminate_docs": _DECONTAMINATE,
     "quality_auc_by_source": _AUC_DUCK,
+    "embedding_quantize": _QUANTIZE_ORACLE,
+    "hot_keys": _HOT_KEYS,
+    "top_bigrams": _TOP_BIGRAMS_ORACLE,
     "bm25_topk": _BM25_DUCK,
     "exact_substring_dedup": _EXACT_SUBSTR_DEDUP_DUCK,
     "pmi_collocations": _PMI_DUCK,
@@ -4888,9 +4895,6 @@ TWIN_SQL: dict[str, str] = {
     "source_drift_kl": _SOURCE_KL_DUCK,
     "crawl_revisit_schedule": _REVISIT_DUCK,
     "phrase_search": _PHRASE_DUCK,
-    "bm25_search": _BM25_BATCH_DUCK,
-    "embedding_decontaminate": _EMB_DECON_DUCK,
     "bitext_margin_mine": _BITEXT_DUCK,
     "region_balanced_sample": _REGION_SAMPLE_DUCK,
-    "ngram_containment_pairs": _CONTAINMENT_DUCK,
 }

@@ -72,10 +72,16 @@ def test_bm25_hand_corpus(spark):
         assert abs(rows[key] - score) < 1e-4, key
 
 
+def _twin(name: str) -> str:
+    """DuckDB dialect of a query: the oracle slot for driver-window entries,
+    TWIN_SQL for rows-only ones (the r5-s5 rotation moved three between)."""
+    return TWIN_SQL.get(name) or QUERIES[name][1]
+
+
 def test_bm25_twin_dialects_stay_aligned():
     # the two dialects must keep identical constants; a drive-by edit to one
     # side shows up as a constant-set mismatch here before the twin gate runs
-    duck = TWIN_SQL["bm25_search"]
+    duck = _twin("bm25_search")
     for magic in ("2.2", "1.2", "0.25", "0.75", "0.5", "ln(", "rn <= 10"):
         assert magic in _BM25_BATCH_SPARK and magic in duck, magic
 
@@ -248,18 +254,15 @@ def test_containment_catches_subset_dup_jaccard_misses(spark):
     assert (1, 2) not in jac
 
 
-def test_registry_tail_and_threshold():
+def test_registry_positions_and_threshold_sync():
     names = list(QUERIES)
-    for q in (
-        "bm25_search",
-        "embedding_decontaminate",
-        "hostgraph_hits",
-        "bitext_margin_mine",
-        "region_balanced_sample",
-        "ngram_containment_pairs",
-    ):
+    # r5-s5 rotation: these three are driver-window oracled entries now
+    for q in ("bm25_search", "embedding_decontaminate", "ngram_containment_pairs"):
+        assert QUERIES[q][1] is not None
+        assert names.index(q) < 50
+    for q in ("hostgraph_hits", "bitext_margin_mine", "region_balanced_sample"):
         assert QUERIES[q][1] is None
         assert names.index(q) >= 50
-    # twin SQL hard-codes the thresholds: keep the constants in sync
-    assert f">= {_EMB_DECON_THRESHOLD}" in TWIN_SQL["embedding_decontaminate"]
-    assert f">= {_BITEXT_THRESHOLD}" in TWIN_SQL["bitext_margin_mine"]
+    # the DuckDB dialects hard-code the thresholds: keep the constants in sync
+    assert f">= {_EMB_DECON_THRESHOLD}" in _twin("embedding_decontaminate")
+    assert f">= {_BITEXT_THRESHOLD}" in _twin("bitext_margin_mine")
