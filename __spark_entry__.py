@@ -9,7 +9,10 @@ SURVEY.md §2 over the driver-provided tables with DuckDB oracles
 registered rows-only.  The driver records the first 50 entries, all
 oracled; round 5 rotated six curation-rule queries (exact DuckDB twins)
 into that window, retiring six trivial one-liners to rows-only with
-their SQL kept as in-repo twin gates (queries.py:TWIN_SQL).
+their SQL kept as in-repo twin gates (queries.py:TWIN_SQL); a second
+session-5 rotation promoted bm25_search / embedding_decontaminate /
+ngram_containment_pairs the same way (retiring embedding_quantize,
+hot_keys, top_bigrams).
 """
 
 from __future__ import annotations

@@ -71,6 +71,29 @@ def main() -> None:
     t0 = time.time()
     out["bm25_rows"] = spark.sql(probe_sql).count()
     out["bm25_s"] = round(time.time() - t0, 2)
+
+    # ---- stored-index BM25: build once, serve the same query batch ------
+    import tempfile
+
+    from extractor_spark.spark.bm25index import bm25_search_index, build_bm25_index
+    from extractor_spark.spark.phraseindex import tokenize_expr
+
+    idx_path = tempfile.mkdtemp(prefix="bm25idx_") + "/idx"
+    t0 = time.time()
+    build_bm25_index(docs.select("doc_id", "text"), idx_path)
+    out["bm25_index_build_s"] = round(time.time() - t0, 2)
+    queries = [
+        (int(r["doc_id"]), list(r["terms"]))
+        for r in docs.select("doc_id", tokenize_expr().alias("t"))
+        .where(f"doc_id % {q_mod} = 0 AND size(t) >= 7")
+        .selectExpr("doc_id", "array_distinct(slice(t, 5, 3)) AS terms")
+        .collect()
+    ]
+    t0 = time.time()
+    out["bm25_index_serve_rows"] = bm25_search_index(
+        spark, idx_path, queries, topk=10
+    ).count()
+    out["bm25_index_serve_s"] = round(time.time() - t0, 2)
     docs.unpersist()
 
     # ---- HITS over a synthetic power-law host graph --------------------
