@@ -61,12 +61,21 @@ def test_stored_index_serving_equals_fused_sql(spark, bm25_idx):
 
 
 def test_serving_scan_is_partition_pruned(spark, bm25_idx):
+    # prune=False keeps the single-pass plan lazy in the returned frame so
+    # the scan is inspectable (the MaxScore pass-1 scan runs eagerly inside
+    # a localCheckpoint; its pass-2 plan gate lives in test_bm25_maxscore)
     _docs, path = bm25_idx
-    df = bm25_search_index(spark, path, [(0, ["the", "and"])], topk=5)
+    # two real index terms (absent terms are dropped before the scan now,
+    # so they can no longer contribute buckets to the partition filter)
+    terms = [
+        r["term"]
+        for r in spark.read.parquet(path + "/_df").orderBy("term").limit(2).collect()
+    ]
+    df = bm25_search_index(spark, path, [(0, terms)], topk=5, prune=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [bucket" in plan and " IN (" in plan.split(
-        "PartitionFilters: [bucket", 1
-    )[1].split("]", 1)[0]
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf and (" IN (" in pf or " = " in pf), pf
 
 
 def test_absent_terms_are_or_ignored(spark, bm25_idx):
