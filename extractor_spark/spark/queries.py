@@ -4294,21 +4294,21 @@ ORDER BY q.phrase_id, tri.doc_id
 # second corpus pass; doc lengths/avgdl are a separate no-explode pass.
 # Scores rounded to 4dp so ranking is cross-engine identical (the
 # embedding-query precedent); ties break on doc_id.
-_BM25_BATCH_SPARK = """
+def _bm25_ctes(toks: str, szfn: str, q: str, post_inner: str) -> str:
+    """The BM25-batch CTE chain shared by both dialects AND by the
+    retrieval_rank_eval statement below (the _fineweb_sql precedent: one
+    builder, so twin parity of composite statements reduces to parity of
+    the dialect fragments)."""
+    return f"""
 WITH toks AS (
-  SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS t FROM documents
+  {toks}
 ), stats AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(size(t)) AS avgdl FROM toks
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg({szfn}(t)) AS avgdl FROM toks
 ), q AS (
-  SELECT doc_id AS query_id, term
-  FROM toks LATERAL VIEW explode(array_distinct(slice(t, 5, 3))) qt AS term
-  WHERE doc_id % 50 = 0 AND size(t) >= 7
+  {q}
 ), post AS (
   SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
-  FROM (
-    SELECT doc_id, size(t) AS dl, term
-    FROM toks LATERAL VIEW explode(t) tok AS term
-  )
+  FROM ({post_inner})
   WHERE term IN (SELECT DISTINCT term FROM q)
   GROUP BY doc_id, term
 ), postdf AS (
@@ -4321,41 +4321,10 @@ WITH toks AS (
          ), 4) AS DOUBLE) AS score
   FROM q JOIN postdf p ON p.term = q.term CROSS JOIN stats s
   GROUP BY q.query_id, p.doc_id
-)
-SELECT query_id, doc_id, score
-FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY score DESC, doc_id ASC) AS rn
-  FROM scored
-)
-WHERE rn <= 10
-ORDER BY query_id, score DESC, doc_id
-"""
-_BM25_BATCH_DUCK = """
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-  FROM documents
-), stats AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(t)) AS avgdl FROM toks
-), q AS (
-  SELECT doc_id AS query_id, unnest(list_distinct(t[5:7])) AS term
-  FROM toks WHERE doc_id % 50 = 0 AND len(t) >= 7
-), post AS (
-  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
-  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
-  WHERE term IN (SELECT DISTINCT term FROM q)
-  GROUP BY doc_id, term
-), postdf AS (
-  SELECT *, CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df FROM post
-), scored AS (
-  SELECT q.query_id, p.doc_id,
-         CAST(round(SUM(
-           ln((s.n_docs - p.df + 0.5) / (p.df + 0.5) + 1.0)
-           * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
-         ), 4) AS DOUBLE) AS score
-  FROM q JOIN postdf p ON p.term = q.term CROSS JOIN stats s
-  GROUP BY q.query_id, p.doc_id
-)
+)"""
+
+
+_BM25_TOPK_TAIL = """
 SELECT query_id, doc_id, score
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -4365,6 +4334,88 @@ FROM (
 WHERE rn <= 10
 ORDER BY query_id, score DESC, doc_id
 """
+
+_BM25_SPARK_FRAGS = dict(
+    toks="SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS t FROM documents",
+    szfn="size",
+    q="""SELECT doc_id AS query_id, term
+  FROM toks LATERAL VIEW explode(array_distinct(slice(t, 5, 3))) qt AS term
+  WHERE doc_id % 50 = 0 AND size(t) >= 7""",
+    post_inner="""
+    SELECT doc_id, size(t) AS dl, term
+    FROM toks LATERAL VIEW explode(t) tok AS term
+  """,
+)
+_BM25_DUCK_FRAGS = dict(
+    toks="""SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents""",
+    szfn="len",
+    q="""SELECT doc_id AS query_id, unnest(list_distinct(t[5:7])) AS term
+  FROM toks WHERE doc_id % 50 = 0 AND len(t) >= 7""",
+    post_inner="SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks",
+)
+
+_BM25_BATCH_SPARK = _bm25_ctes(**_BM25_SPARK_FRAGS) + _BM25_TOPK_TAIL
+_BM25_BATCH_DUCK = _bm25_ctes(**_BM25_DUCK_FRAGS) + _BM25_TOPK_TAIL
+
+
+# Retrieval ranking evaluation (the graded-relevance complement to
+# quality_auc_by_source's binary ROC-AUC): NDCG@10 and MRR of the pinned
+# BM25 ranking against deterministic graded qrels.  Qrels are derived from
+# the corpus itself — grade(q, d) = number of DISTINCT query terms of q
+# that appear in d (1..|q| because `post` only carries docs sharing ≥1
+# term; the BM25 scored set and the qrel universe coincide by
+# construction, so the top-10 join is total).  DCG uses the standard
+# exponential-gain form Σ (2^grade − 1) / log2(rank + 1) (Järvelin &
+# Kekäläinen 2002); IDCG re-ranks the qrels by grade DESC, doc_id ASC;
+# MRR is 1/rank of the first top-10 doc with grade ≥ 2, 0 when none.
+# Every query retrieves its own source doc (grade = |q|), so IDCG > 0
+# always.  Scale shape: inherits the BM25 CTEs' shape (tiny broadcast
+# query join, postings-only shuffle); the eval adds per-query top-10
+# windows and a qrel aggregation over the same filtered postings — no new
+# corpus pass.  Rounded to 4dp for cross-engine identity.
+_RANK_EVAL_TAIL = """,
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+), qrel AS (
+  SELECT q.query_id, p.doc_id, CAST(count(*) AS DOUBLE) AS grade
+  FROM q JOIN post p ON p.term = q.term
+  GROUP BY q.query_id, p.doc_id
+), hits AS (
+  SELECT r.query_id, r.rnk, g.grade
+  FROM ranked r JOIN qrel g ON g.query_id = r.query_id AND g.doc_id = r.doc_id
+  WHERE r.rnk <= 10
+), dcg AS (
+  SELECT query_id,
+         SUM((power(2.0, grade) - 1.0) / log2(rnk + 1.0)) AS dcg10,
+         COALESCE(MAX(CASE WHEN grade >= 2 THEN 1.0 / rnk END), 0.0) AS mrr2
+  FROM hits GROUP BY query_id
+), ideal AS (
+  SELECT query_id,
+         SUM((power(2.0, grade) - 1.0) / log2(irnk + 1.0)) AS idcg10
+  FROM (SELECT query_id, grade,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY grade DESC, doc_id ASC) AS irnk
+        FROM qrel) iq
+  WHERE irnk <= 10 GROUP BY query_id
+), nrel AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM qrel GROUP BY query_id
+)
+SELECT d.query_id,
+       CAST(round(d.dcg10 / i.idcg10, 4) AS DOUBLE) AS ndcg10,
+       CAST(round(d.mrr2, 4) AS DOUBLE) AS mrr_g2,
+       n.n_rel
+FROM dcg d
+JOIN ideal i ON i.query_id = d.query_id
+JOIN nrel n ON n.query_id = d.query_id
+ORDER BY d.query_id
+"""
+
+_RANK_EVAL_SPARK = _bm25_ctes(**_BM25_SPARK_FRAGS) + _RANK_EVAL_TAIL
+_RANK_EVAL_DUCK = _bm25_ctes(**_BM25_DUCK_FRAGS) + _RANK_EVAL_TAIL
 
 
 # Embedding-space benchmark decontamination (the semantic complement to the
@@ -4864,6 +4915,7 @@ QUERIES: dict[str, tuple] = {
     "hostgraph_hits": (_hostgraph_hits, None),
     "bitext_margin_mine": (_bitext_margin_mine, None),
     "region_balanced_sample": (_sql(_REGION_SAMPLE_SPARK), None),
+    "retrieval_rank_eval": (_sql(_RANK_EVAL_SPARK), None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL
@@ -4897,4 +4949,5 @@ TWIN_SQL: dict[str, str] = {
     "phrase_search": _PHRASE_DUCK,
     "bitext_margin_mine": _BITEXT_DUCK,
     "region_balanced_sample": _REGION_SAMPLE_DUCK,
+    "retrieval_rank_eval": _RANK_EVAL_DUCK,
 }
