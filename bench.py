@@ -377,6 +377,9 @@ def main() -> None:
         "bitext_margin_mine",
         "region_balanced_sample",
         "ngram_containment_pairs",
+        # round-5 session-6 additions
+        "retrieval_rank_eval",
+        "hostgraph_spam_mass",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

@@ -3160,6 +3160,55 @@ def _hostgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("rank_nano").desc(), "host")
 
 
+def _hostgraph_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative spam mass per host (Gyöngyi et al. 2006): PageRank and
+    seed-teleport TrustRank over the same synth host graph, spam mass =
+    (pr − tr)/pr — hosts whose PageRank is not backed by trusted
+    reachability score ≈ 1000 milli, trusted seeds go negative.  Seeds are
+    the deterministic hash slice pmod(xxhash64(host), 4) = 0 of the node
+    set (computed distributedly — no driver host list; curated seed lists
+    at web scale are bounded and broadcastable).  The host graph is
+    extracted ONCE (eager localCheckpoint) and feeds both iterations;
+    each iteration is the one-job-per-round lazy-checkpoint loop
+    (webgraph.pagerank/trustrank).  Fixed 20 rounds, fixed-point outputs.
+    Rows-only: gates in tests/test_webgraph.py (numpy same-iterate
+    TrustRank twin ±1e-12, unreachable-spam-farm hand graph, composition
+    determinism)."""
+    from pyspark.sql import functions as F
+
+    from . import caches
+    from .webgraph import extract_outlinks, host_graph, pagerank, trustrank
+
+    pages = _webgraph_pages(spark)
+    sc = spark.sparkContext
+    before = caches.persistent_ids(sc)
+    edges = host_graph(extract_outlinks(pages)).localCheckpoint()
+    for h in caches.checkpoint_handles_since(sc, before):
+        caches.register(h)
+    seeds = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionAll(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .where(F.pmod(F.xxhash64("host"), F.lit(4)) == 0)
+    )
+    pr = pagerank(edges, max_iter=20, tol=1e-9).withColumnRenamed("rank", "pr")
+    tr = trustrank(edges, seeds, max_iter=20, tol=1e-9).withColumnRenamed(
+        "rank", "tr"
+    )
+    return (
+        pr.join(tr, "host")
+        .select(
+            "host",
+            F.rint(F.col("pr") * 1e9).cast("bigint").alias("pr_nano"),
+            F.rint(F.col("tr") * 1e9).cast("bigint").alias("tr_nano"),
+            F.rint((F.col("pr") - F.col("tr")) / F.col("pr") * 1e3)
+            .cast("bigint")
+            .alias("spam_mass_milli"),
+        )
+        .orderBy(F.col("spam_mass_milli").desc(), "host")
+    )
+
+
 def _anchor_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 off-site anchor terms per target host (what the rest of the
     web calls each host) — the classic query-independent relevance signal.
@@ -4916,6 +4965,7 @@ QUERIES: dict[str, tuple] = {
     "bitext_margin_mine": (_bitext_margin_mine, None),
     "region_balanced_sample": (_sql(_REGION_SAMPLE_SPARK), None),
     "retrieval_rank_eval": (_sql(_RANK_EVAL_SPARK), None),
+    "hostgraph_spam_mass": (_hostgraph_spam_mass, None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL

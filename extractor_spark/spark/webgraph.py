@@ -412,6 +412,145 @@ def pagerank(
     return ranks.select("host", "rank")
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds: list[str] | DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 40,
+    tol: float = 1e-9,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004 — public
+    algorithm): PageRank with the teleport vector concentrated on a trusted
+    seed set instead of uniform, so trust flows outward from the seeds and
+    hosts unreachable from them converge to rank 0.  The downstream spam
+    signal is relative spam mass (Gyöngyi et al. 2006),
+    (pagerank − trustrank)/pagerank — both vectors sum to 1, and a host
+    whose PageRank is NOT backed by trusted reachability gets mass ≈ 1.
+
+    Deliberately a separate function from :func:`pagerank` rather than a
+    teleport parameter: the uniform base term there is ``(1−d)/n`` while
+    the seeded one is ``(1−d)·s_i`` — algebraically equal for uniform s
+    but not bit-identical in floating point, and pagerank's numpy twin is
+    pinned at ±1e-12.  Same execution shape: state carries
+    (rank, is_dangling, s); ONE Spark job per round — a lazy
+    localCheckpoint whose materializing action is the combined
+    delta + dangling-mass aggregate; previous round's blocks released
+    AFTER the action; dangling mass redistributes to the SEED
+    distribution (the personalized-PageRank convention), preserving unit
+    mass.  Seeds absent from the graph are ignored; t₀ = s (the
+    Gyöngyi initialization).  Twin: numpy same-iterate ±1e-12
+    (tests/test_webgraph.py).
+    """
+    from . import caches
+
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionAll(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    out_totals = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_total"))
+    trans = (
+        edges.join(out_totals, "src_host")
+        .select(
+            F.col("src_host").alias("host"),
+            "dst_host",
+            (F.col("n_links").cast("double") / F.col("out_total")).alias("w"),
+        )
+        .repartition(sc.defaultParallelism, "host")
+    )
+    trans.persist()
+
+    # seed lists are human-curated and bounded (thousands of hosts even at
+    # web scale) — broadcastable by construction
+    if isinstance(seeds, DataFrame):
+        seed_df = seeds.select("host").distinct().withColumn("_seed", F.lit(True))
+    else:
+        seed_df = spark.createDataFrame(
+            [(h,) for h in sorted(set(seeds))], "host string"
+        ).withColumn("_seed", F.lit(True))
+    n_seeds = nodes.join(F.broadcast(seed_df), "host").count()
+    if n_seeds == 0:
+        trans.unpersist()
+        edges.unpersist()
+        return spark.createDataFrame([], "host string, rank double")
+
+    srcs = edges.select(F.col("src_host").alias("host")).distinct().withColumn(
+        "_has_out", F.lit(True)
+    )
+    before = caches.persistent_ids(sc)
+    ranks = (
+        nodes.join(srcs, "host", "left")
+        .join(F.broadcast(seed_df), "host", "left")
+        .select(
+            "host",
+            F.when(F.coalesce("_seed", F.lit(False)), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("s"),
+            (~F.coalesce(F.col("_has_out"), F.lit(False))).alias("is_dangling"),
+        )
+        .withColumn("rank", F.col("s"))
+        .localCheckpoint(eager=False)
+    )
+    prev_handles = caches.checkpoint_handles_since(sc, before)
+    dangling_mass = (
+        ranks.agg(
+            F.coalesce(F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0.0))
+        ).first()[0]
+    )
+
+    for _ in range(max_iter):
+        contrib = (
+            ranks.join(trans, "host")
+            .select(F.col("dst_host").alias("host"), (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("host")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new_ranks = (
+            ranks.select("host", F.col("rank").alias("old_rank"), "is_dangling", "s")
+            .join(contrib, "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit(1.0 - damping) * F.col("s")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.lit(dangling_mass) * F.col("s")
+                    )
+                ).alias("rank"),
+                "old_rank",
+                "is_dangling",
+                "s",
+            )
+        )
+        before = caches.persistent_ids(sc)
+        new_ranks = new_ranks.localCheckpoint(eager=False)
+        cur_handles = caches.checkpoint_handles_since(sc, before)
+        row = new_ranks.agg(
+            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0.0)
+            ).alias("dangling"),
+        ).first()
+        delta, dangling_mass = row["delta"], row["dangling"]
+        ranks = new_ranks.select("host", "rank", "is_dangling", "s")
+        for h in prev_handles:
+            h.unpersist()
+        prev_handles = cur_handles
+        if delta < tol:
+            break
+
+    trans.unpersist()
+    edges.unpersist()
+    for h in prev_handles:
+        caches.register(h)
+    return ranks.select("host", "rank")
+
+
 # ---------------------------------------------------------------------------
 # HITS hubs & authorities (Kleinberg 1999 — public algorithm)
 # ---------------------------------------------------------------------------

@@ -384,3 +384,126 @@ def test_query_wrappers_run(spark):
         "rk",
     ]
     assert all(1 <= r["rk"] <= 5 for r in arows)
+
+
+# ---------------------------------------------------------------------------
+# TrustRank + spam mass (Gyöngyi et al. 2004/2006 — public algorithms)
+# ---------------------------------------------------------------------------
+
+
+def numpy_trustrank(edges: dict, seeds, damping=0.85, iters=200):
+    """Reference seeded power iteration mirroring webgraph.trustrank's
+    exact recurrence (t0 = seed distribution, dangling mass redistributed
+    to the seed distribution) — same-``iters`` runs agree to FP noise."""
+    hosts = sorted({h for e in edges for h in e})
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    out_tot = np.zeros(n)
+    for (s, _), w in edges.items():
+        out_tot[idx[s]] += w
+    m = np.zeros((n, n))
+    for (s, d), w in edges.items():
+        m[idx[d], idx[s]] = w / out_tot[idx[s]]
+    dangling = out_tot == 0
+    sv = np.zeros(n)
+    present = [h for h in seeds if h in idx]
+    sv[[idx[h] for h in present]] = 1.0 / len(present)
+    r = sv.copy()
+    for _ in range(iters):
+        r = (1 - damping) * sv + damping * (m @ r + r[dangling].sum() * sv)
+    return {h: r[idx[h]] for h in hosts}
+
+
+def test_trustrank_matches_numpy_twin(spark):
+    import pandas as pd
+
+    from extractor_spark.spark.webgraph import trustrank
+
+    edges = twin_host_edges()
+    hosts = sorted({h for e in edges for h in e})
+    seeds = hosts[::4]  # deterministic quarter of the node set
+    edf = spark.createDataFrame(
+        pd.DataFrame(
+            [(s, d, w) for (s, d), w in edges.items()],
+            columns=["src_host", "dst_host", "n_links"],
+        )
+    )
+    got = {
+        r["host"]: r["rank"]
+        for r in trustrank(edf, seeds, max_iter=25, tol=0.0).collect()
+    }
+    release_query_caches()
+    want = numpy_trustrank(edges, seeds, iters=25)
+    assert set(got) == set(want)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for h in want:
+        assert abs(got[h] - want[h]) < 1e-12, h
+
+
+def test_trustrank_spam_farm_hand_graph(spark):
+    """Seeds {a}; a→b; spam farm c⇄d unreachable from the seed: TrustRank
+    exactly 0 on the farm (trust flows only outward from seeds), so the
+    farm's relative spam mass is exactly 1 while a/b trust ≈ their rank."""
+    from extractor_spark.spark.webgraph import trustrank
+
+    edf = spark.createDataFrame(
+        [("a.org", "b.org", 1), ("c.org", "d.org", 2), ("d.org", "c.org", 2)],
+        "src_host string, dst_host string, n_links int",
+    )
+    got = {
+        r["host"]: r["rank"]
+        for r in trustrank(edf, ["a.org"], max_iter=40, tol=0.0).collect()
+    }
+    release_query_caches()
+    assert got["c.org"] == 0.0 and got["d.org"] == 0.0
+    assert got["a.org"] > 0 and got["b.org"] > 0
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    want = numpy_trustrank(
+        {("a.org", "b.org"): 1, ("c.org", "d.org"): 2, ("d.org", "c.org"): 2},
+        ["a.org"],
+        iters=40,
+    )
+    for h in want:
+        assert abs(got[h] - want[h]) < 1e-12
+
+
+def test_trustrank_seeds_absent_from_graph(spark):
+    from extractor_spark.spark.webgraph import trustrank
+
+    edf = spark.createDataFrame(
+        [("a.org", "b.org", 1)], "src_host string, dst_host string, n_links int"
+    )
+    # ghost seeds are ignored; all-ghost seed set yields the empty frame
+    got = {
+        r["host"]: r["rank"]
+        for r in trustrank(edf, ["a.org", "zz.test"], max_iter=10, tol=0.0).collect()
+    }
+    release_query_caches()
+    want = numpy_trustrank({("a.org", "b.org"): 1}, ["a.org"], iters=10)
+    for h in want:
+        assert abs(got[h] - want[h]) < 1e-12
+    assert trustrank(edf, ["zz.test"], max_iter=5).count() == 0
+
+
+def test_spam_mass_query_wrapper(spark):
+    q = QUERIES["hostgraph_spam_mass"][0]
+    df = q(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    release_query_caches()
+    assert rows
+    assert [f.name for f in df.schema] == [
+        "host",
+        "pr_nano",
+        "tr_nano",
+        "spam_mass_milli",
+    ]
+    # both vectors carry unit mass in nano units
+    assert abs(sum(r["pr_nano"] for r in rows) - 1_000_000_000) < 200
+    assert abs(sum(r["tr_nano"] for r in rows) - 1_000_000_000) < 200
+    # the seed slice is a strict subset, so some hosts must lose trust
+    # relative to rank (positive spam mass) and seeds gain it (negative)
+    assert any(r["spam_mass_milli"] > 0 for r in rows)
+    assert any(r["spam_mass_milli"] < 0 for r in rows)
+    rows2 = q(spark, "/root/testdata/sf0.001").collect()
+    release_query_caches()
+    assert [tuple(r) for r in rows2] == [tuple(r) for r in rows]
