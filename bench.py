@@ -380,6 +380,7 @@ def main() -> None:
         # round-5 session-6 additions
         "retrieval_rank_eval",
         "hostgraph_spam_mass",
+        "bpe_tokenize_pack",
     ]
     from extractor_spark.spark.queries import release_query_caches
 

@@ -3370,6 +3370,33 @@ def _bpe_encode_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_bpe_df(docs, merges, top_k=200)
 
 
+def _bpe_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize-and-pack endgame: learn an 8-merge BPE table, encode
+    the corpus map-only with the trainer's own fold, and chunk the token
+    stream into exact 128-id training sequences (two-level prefix-sum
+    offsets, array-slice pieces per straddled boundary — see
+    spark/tokenshards.py).  Emits one row per sequence with a content
+    hash, so the driver record pins the exact shard bytes.  Rows-only:
+    iterative merge learning has no SQL twin; gates in
+    tests/test_tokenshards.py (exact roundtrip decode, frequency equality
+    vs the independently-gated encode_bpe_df path, length invariants,
+    pure-Python reference encoder)."""
+    from pyspark.sql import functions as F
+
+    from .tokenshards import tokenize_pack
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    _merges, _vocab, shards = tokenize_pack(docs, n_merges=8, seq_len=128)
+    return shards.select(
+        "seq_id",
+        F.size("token_ids").cast("bigint").alias("n_tokens"),
+        F.xxhash64(
+            F.concat_ws(",", F.transform("token_ids", lambda i: i.cast("string")))
+        ).alias("ids_hash"),
+    ).orderBy("seq_id")
+
+
 def _robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 robots-exclusion verdict for every page of the synth crawl
     against deterministic per-host robots.txt bodies (wildcards, $ anchors,
@@ -4966,6 +4993,7 @@ QUERIES: dict[str, tuple] = {
     "region_balanced_sample": (_sql(_REGION_SAMPLE_SPARK), None),
     "retrieval_rank_eval": (_sql(_RANK_EVAL_SPARK), None),
     "hostgraph_spam_mass": (_hostgraph_spam_mass, None),
+    "bpe_tokenize_pack": (_bpe_tokenize_pack, None),
 }
 
 # DuckDB twin SQL for rows-only registry entries that have an exact SQL

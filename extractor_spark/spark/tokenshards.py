@@ -1,0 +1,210 @@
+"""Corpus → BPE token-id training shards (the tokenize-and-pack endgame of
+a pre-training data pipeline: Sennrich et al. 2016 subword encoding + the
+GPT-style concat-then-chunk packing every trainer consumes).
+
+Composes the pinned pieces end-to-end, Spark-first:
+
+- **Encoding is map-only.**  Each word occurrence is folded through the
+  learned merge table inline (``bpe._merge_fold`` — the SAME expression
+  the trainer applied, so encoding is exactly the transformation training
+  performed), inside one ``transform`` over the doc's word array: zero
+  shuffles, one corpus pass.  The trainer's distinct-word amortization is
+  the right call for 40 training rounds; for a single encoding pass the
+  map-only plan beats a 10^8-row word-table shuffle join plus a per-doc
+  positional reassembly shuffle — CPU in whole-stage codegen is cheaper
+  than two corpus-keyed exchanges.
+- **The id vocabulary is provably bounded**: every post-merge symbol is
+  either a single character (or the ``</w>`` end-of-word mark) or the
+  output of one of the ``n_merges`` merge rules — |vocab| ≤ |alphabet| +
+  n_merges + 1 regardless of corpus size.  Ids are assigned by sorted
+  symbol (deterministic) and shipped as a broadcast map literal.
+- **Packing is exact concat-then-chunk**: doc start offsets via the
+  two-level distributed prefix sum (per-partition cumsum + broadcast
+  partition offsets — the `sequence_packing`/curate decomposition, never
+  a SinglePartition window), then each doc emits one row PER OVERLAPPING
+  SEQUENCE carrying an array slice (a doc straddling k sequences emits k
+  array-packed rows, not n_tokens exploded rows), and sequences reassemble
+  with one groupBy(seq_id).  Every sequence has exactly ``seq_len`` ids
+  except the final partial one.
+
+Non-BMP words are filtered exactly as in training (``bpe._BMP_ONLY`` —
+the Java/Python shared domain); decoding splits on ``</w>``.
+
+Gates (tests/test_tokenshards.py): exact roundtrip (decode(shards) ==
+the filtered corpus word stream in pack order), token-frequency equality
+vs the independently-gated ``encode_bpe_df`` path, per-sequence length
+invariant + conservation, determinism, and a pure-Python reference
+encoder on a hand corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .bpe import _BMP_ONLY, _EOW, _char_syms, _merge_fold
+
+
+def _words_expr(text_col="text"):
+    """Doc → BMP-only word array (the trainer's tokenize + domain filter)."""
+    return F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: (t != "") & t.rlike(_BMP_ONLY),
+    )
+
+
+def _encode_word_expr(word, merges):
+    sym = _char_syms(word)
+    for _rank, left, right, _n in merges:
+        sym = _merge_fold(sym, left, right)
+    return sym
+
+
+def bpe_vocab(docs: DataFrame, merges: list[tuple[int, str, str, int]]) -> list[str]:
+    """Sorted id vocabulary: characters observed in the (filtered) corpus,
+    the ``</w>`` mark, and each merge's output symbol.  Bounded by
+    |alphabet| + n_merges + 1; the distinct-chars pass collects only that."""
+    chars = [
+        r["c"]
+        for r in docs.select(
+            F.explode(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            _words_expr(),
+                            lambda w: F.filter(
+                                F.split(w, "(?!^)"), lambda c: c != ""
+                            ),
+                        )
+                    )
+                )
+            ).alias("c")
+        )
+        .distinct()
+        .collect()
+    ]
+    merged = [left + right for _rank, left, right, _n in merges]
+    return sorted(set(chars) | {_EOW} | set(merged))
+
+
+def encode_corpus_ids(
+    docs: DataFrame, merges: list[tuple[int, str, str, int]], vocab: list[str]
+) -> DataFrame:
+    """(doc_id, ids array<int>, n_tokens) — one map-only corpus pass."""
+    id_map = F.create_map(
+        *[x for i, t in enumerate(vocab) for x in (F.lit(t), F.lit(i))]
+    )
+    tokens = F.flatten(
+        F.transform(_words_expr(), lambda w: _encode_word_expr(w, merges))
+    )
+    return docs.select(
+        "doc_id",
+        F.transform(tokens, lambda t: id_map[t].cast("int")).alias("ids"),
+    ).select("doc_id", "ids", F.size("ids").cast("bigint").alias("n_tokens"))
+
+
+def pack_token_shards(
+    encoded: DataFrame, seq_len: int, n_parts: int = 16
+) -> DataFrame:
+    """Exact fixed-length sequences (seq_id, token_ids) from per-doc id
+    arrays, docs concatenated in doc_id order and split across sequence
+    boundaries.  Two shuffles total: the range partition behind the
+    prefix sum and the seq_id reassembly."""
+    from pyspark.sql import Window
+
+    from . import caches
+
+    spark = encoded.sparkSession
+    base = encoded.where(F.col("n_tokens") > 0)
+    before = caches.persistent_ids(spark.sparkContext)
+    parts = (
+        base.repartitionByRange(n_parts, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # the totals collect materializes it
+    )
+    totals = parts.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
+    # the returned shards frame is lazy over the checkpointed encoding —
+    # consumers release via queries.release_query_caches()
+    for h in caches.checkpoint_handles_since(spark.sparkContext, before):
+        caches.register(h)
+    by_pid = {r["_pid"]: r["t"] for r in totals}
+    offsets, acc = [], 0
+    for pid in sorted(by_pid):
+        offsets.append((pid, acc))
+        acc += by_pid[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset bigint")
+    w = Window.partitionBy("_pid").orderBy("doc_id")
+    with_start = (
+        parts.withColumn("_cs", F.sum("n_tokens").over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .select(
+            "doc_id",
+            "ids",
+            "n_tokens",
+            (F.col("_offset") + F.col("_cs") - F.col("n_tokens")).alias("start"),
+        )
+    )
+    L = F.lit(seq_len)
+    pieces = (
+        with_start.select(
+            "ids",
+            "n_tokens",
+            "start",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("start") / L),
+                    F.floor((F.col("start") + F.col("n_tokens") - 1) / L),
+                )
+            ).alias("seq_id"),
+        )
+        .select(
+            "seq_id",
+            # 1-based slice bounds of this doc's overlap with [seq_id*L, ...)
+            F.greatest(F.col("seq_id") * L - F.col("start"), F.lit(0)).alias("_lo"),
+            F.least(
+                (F.col("seq_id") + 1) * L - F.col("start"), F.col("n_tokens")
+            ).alias("_hi"),
+            "ids",
+            "start",
+        )
+        .select(
+            "seq_id",
+            (F.col("start") + F.col("_lo")).alias("piece_start"),
+            F.slice(
+                "ids", (F.col("_lo") + 1).cast("int"), (F.col("_hi") - F.col("_lo")).cast("int")
+            ).alias("piece"),
+        )
+    )
+    return (
+        pieces.groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("piece_start", "piece"))),
+                    lambda s: s["piece"],
+                )
+            ).alias("token_ids")
+        )
+        .select("seq_id", "token_ids")
+    )
+
+
+def tokenize_pack(
+    docs: DataFrame, n_merges: int = 24, seq_len: int = 1024
+) -> tuple[list[tuple[int, str, str, int]], list[str], DataFrame]:
+    """learn merges → derive vocab → encode → pack.  Returns
+    (merges, vocab, shards); shards is lazy over the encoding pass."""
+    from .bpe import learn_bpe
+
+    merges = learn_bpe(docs, n_merges=n_merges)
+    vocab = bpe_vocab(docs, merges)
+    encoded = encode_corpus_ids(docs, merges, vocab)
+    return merges, vocab, pack_token_shards(encoded, seq_len)
+
+
+def decode_ids(token_ids: list[int], vocab: list[str]) -> list[str]:
+    """Shard → word list (driver-side test/inspection helper): concatenate
+    symbols, split on the ``</w>`` end-of-word mark."""
+    text = "".join(vocab[i] for i in token_ids)
+    words = text.split(_EOW)
+    return [w for w in words if w != ""]
