@@ -15,12 +15,16 @@ tests/test_bm25_index.py pins serve ≡ fused-SQL equality on the registry's
 own query set, the partition-pruned scan, and OR-semantics for absent
 terms.
 
-Layout under ``path``:
-  bucket=<0..255>/  (term, doc_id, tf, dl) term-sorted row groups
-  _df/              (term, df, ub) vocabulary-sized side table
-  _stats/           1 row (n_docs, avgdl)
+Layout under ``path`` (batch-partitioned for incremental maintenance —
+see :func:`append_bm25_index`):
+  bucket=<0..255>/batch=<id>/  (term, doc_id, tf, dl) term-sorted row groups
+  _df/batch=<id>/              per-term (df, tf_max, dl_min) contributions
+  _stats/batch=<id>/           1 row (n_docs, sum_dl)
 Underscore prefixes keep the side tables invisible to parquet reads of
-``path`` itself (the phraseindex convention).
+``path`` itself (the phraseindex convention).  Serving folds the
+vocabulary-sized side tables across batches; appends cost one pass over
+the new batch only, and re-running a batch id overwrites its partitions
+(retry-idempotent, the incdedup convention).
 
 MaxScore-style pruned serving (Turtle & Flood 1995's upper-bound idea,
 restructured as an exact TWO-PASS distributed plan rather than a
@@ -83,51 +87,83 @@ _MAX_CANDIDATES = 500_000
 
 
 def build_bm25_index(docs: DataFrame, path: str, n_partitions: int = 32) -> None:
-    """ONE tokenize pass → (term, doc_id, tf, dl) postings hash-partitioned
-    into ``bucket=pmod(xxhash64(term), 256)`` dirs; df, per-term score
-    upper bounds, and corpus stats are derived FROM the written postings
-    (column-pruned scans), not a second corpus pass."""
+    """Full (re)build: one batch-0 append over a fresh index root."""
+    append_bm25_index(docs, path, batch_id=0, n_partitions=n_partitions,
+                      full_rebuild=True)
+
+
+def append_bm25_index(
+    docs: DataFrame,
+    path: str,
+    batch_id: int,
+    n_partitions: int = 32,
+    full_rebuild: bool = False,
+) -> None:
+    """Incremental index maintenance (the incdedup convention: one batch =
+    one partition, re-running a batch OVERWRITES it, so a failed/retried
+    append is idempotent).  Batches must carry disjoint doc sets — a doc
+    belongs to exactly one batch, re-appending the same batch_id replaces
+    its contribution.
+
+    Cost is ONE tokenize pass over the NEW batch only: postings land under
+    ``bucket=<hash>/batch=<id>/``, and the two side tables store PER-BATCH
+    contributions (``_df/batch=<id>``: per-term (df, tf_max, dl_min);
+    ``_stats/batch=<id>``: (n_docs, sum_dl)) that serving folds together —
+    no global recomputation on append.  MaxScore upper bounds are derived
+    at serve time from the folded envelope: BM25's saturation factor is
+    monotone increasing in tf and decreasing in dl, so
+    idf(Σdf) · sat(max tf_max, min dl_min, global avgdl) dominates every
+    actual posting contribution — a valid (slightly loose) bound, which is
+    all the pruning proof needs."""
     postings = (
         docs.select("doc_id", tokenize_expr().alias("t"))
         .select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count("*").cast("long").alias("tf"), F.max("dl").alias("dl"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)))
+        .withColumn("batch", F.lit(int(batch_id)))
     )
+    mode = "overwrite"
+    # dynamic partition overwrite replaces ONLY this batch's partitions;
+    # a full rebuild wipes the whole root (static overwrite)
+    ow = "static" if full_rebuild else "dynamic"
     (
         postings.repartition(n_partitions, "bucket")
         .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
+        .write.mode(mode)
+        .option("partitionOverwriteMode", ow)
+        .partitionBy("bucket", "batch")
         .parquet(path)
     )
     spark = docs.sparkSession
-    written = spark.read.parquet(path)
-    # every doc contributes ≥1 posting (split of any text is non-empty), so
-    # the postings cover the corpus: N = distinct docs, sum(tf) = Σ dl
-    written.agg(
-        F.countDistinct("doc_id").cast("double").alias("n_docs"),
-        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
-    ).write.mode("overwrite").parquet(path + "/_stats")
-    stats = spark.read.parquet(path + "/_stats").first()
-    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
-    # ub = idf(df) × max over the term's ACTUAL postings of the saturation
-    # factor tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)) — the exact per-term score
-    # ceiling MaxScore pruning needs
-    tf = F.col("tf").cast("double")
-    sat = tf * (K1 + 1.0) / (
-        tf + K1 * (1.0 - B + B * F.col("dl").cast("double") / F.lit(avgdl))
+    # derive the side tables FROM the written batch (partition-pruned,
+    # column-pruned scans), not a second corpus pass; every doc contributes
+    # ≥1 posting (split of any text is non-empty) so Σtf = Σdl
+    written = spark.read.parquet(path).where(F.col("batch") == int(batch_id))
+    (
+        written.agg(
+            F.countDistinct("doc_id").cast("double").alias("n_docs"),
+            F.sum("tf").cast("double").alias("sum_dl"),
+        )
+        .withColumn("batch", F.lit(int(batch_id)))
+        .write.mode(mode)
+        .option("partitionOverwriteMode", ow)
+        .partitionBy("batch")
+        .parquet(path + "/_stats")
     )
-    idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf = F.col("tf").cast("double")
     (
         written.groupBy("term")
         .agg(
             F.count("*").cast("double").alias("df"),
-            F.max(sat).alias("max_sat"),
+            F.max(tf).alias("tf_max"),
+            F.min(F.col("dl").cast("double")).alias("dl_min"),
         )
-        .select("term", "df", (idf * F.col("max_sat")).alias("ub"))
+        .withColumn("batch", F.lit(int(batch_id)))
         .repartition(8)
-        .write.mode("overwrite")
+        .write.mode(mode)
+        .option("partitionOverwriteMode", ow)
+        .partitionBy("batch")
         .parquet(path + "/_df")
     )
 
@@ -215,14 +251,51 @@ def bm25_search_index(
         return spark.createDataFrame([], "query_id int, doc_id long, score double")
     vocab = sorted({t for _, t in leg_rows})
 
-    stats = spark.read.parquet(index_path + "/_stats").first()
-    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    # fold the per-batch side tables: n_docs/avgdl across batches, and per
+    # term the global df plus the (tf_max, dl_min) saturation envelope
+    srows = spark.read.parquet(index_path + "/_stats").collect()
+    n_docs = float(sum(r["n_docs"] for r in srows))
+    if n_docs == 0:
+        return spark.createDataFrame([], "query_id int, doc_id long, score double")
+    avgdl = float(sum(r["sum_dl"] for r in srows)) / n_docs
     df_tbl = spark.read.parquet(index_path + "/_df")
-    has_ub = "ub" in df_tbl.columns
-    meta_rows = df_tbl.where(F.col("term").isin(vocab)).collect()
+    has_ub = "tf_max" in df_tbl.columns
+    if has_ub:
+        meta_rows = (
+            df_tbl.where(F.col("term").isin(vocab))
+            .groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.max("tf_max").alias("tf_max"),
+                F.min("dl_min").alias("dl_min"),
+            )
+            .collect()
+        )
+    else:
+        meta_rows = (
+            df_tbl.where(F.col("term").isin(vocab))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+
+    def _ub(df: float, tf_max: float, dl_min: float) -> float:
+        # valid MaxScore bound: sat is monotone ↑ in tf, ↓ in dl, so the
+        # envelope corner dominates every actual posting of the term
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        sat = tf_max * (K1 + 1.0) / (
+            tf_max + K1 * (1.0 - B + B * dl_min / avgdl)
+        )
+        return idf * sat
+
     # vocabulary-sized driver map: term → (df, ub)
     term_meta = {
-        r["term"]: (float(r["df"]), float(r["ub"]) if has_ub else math.inf)
+        r["term"]: (
+            float(r["df"]),
+            _ub(float(r["df"]), float(r["tf_max"]), float(r["dl_min"]))
+            if has_ub
+            else math.inf,
+        )
         for r in meta_rows
     }
     # absent terms contribute nothing — drop their legs entirely

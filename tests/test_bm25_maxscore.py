@@ -121,20 +121,32 @@ def test_pass2_hot_scan_is_partition_pruned(spark, zipf_idx):
 
 
 def test_stored_ub_dominates_every_posting(spark, zipf_idx):
-    """The exactness precondition: ub(t) ≥ contribution of every actual
-    posting of t (it is defined as the exact data max at build time)."""
+    """The exactness precondition: the serve-derived envelope bound
+    idf(Σdf)·sat(tf_max, dl_min) ≥ contribution of every actual posting of
+    the term (saturation is monotone ↑ in tf, ↓ in dl)."""
     path, _queries, _hot = zipf_idx
-    stats = spark.read.parquet(path + "/_stats").first()
-    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
-    post = spark.read.parquet(path).join(
-        spark.read.parquet(path + "/_df"), "term"
+    srows = spark.read.parquet(path + "/_stats").collect()
+    n_docs = float(sum(r["n_docs"] for r in srows))
+    avgdl = float(sum(r["sum_dl"] for r in srows)) / n_docs
+    env = (
+        spark.read.parquet(path + "/_df")
+        .groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.max("tf_max").alias("tf_max"),
+            F.min("dl_min").alias("dl_min"),
+        )
     )
+    post = spark.read.parquet(path).join(env, "term")
     tf = F.col("tf").cast("double")
     idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     contrib = idf * tf * (K1 + 1.0) / (
         tf + K1 * (1.0 - B + B * F.col("dl").cast("double") / F.lit(avgdl))
     )
-    worst = post.agg(F.max(contrib - F.col("ub")).alias("gap")).first()["gap"]
+    ub = idf * F.col("tf_max") * (K1 + 1.0) / (
+        F.col("tf_max") + K1 * (1.0 - B + B * F.col("dl_min") / F.lit(avgdl))
+    )
+    worst = post.agg(F.max(contrib - ub).alias("gap")).first()["gap"]
     assert worst <= 1e-9, worst
 
 
