@@ -168,6 +168,36 @@ def append_bm25_index(
     )
 
 
+def streaming_index_docs(
+    spark: SparkSession,
+    docs_stream_dir: str,
+    index_path: str,
+    ckpt_dir: str,
+) -> None:
+    """foreachBatch availableNow drain over a stream of (doc_id, text)
+    files: each microbatch appends its postings + side-table contributions
+    under ``batch=<microbatch id>`` via :func:`append_bm25_index` — the
+    same idempotent partition-overwrite write, so Structured Streaming's
+    replayed microbatches (post-crash) land on identical content.
+    streaming ≡ batch equality pinned in tests/test_bm25_append.py."""
+
+    def handle(batch_df, batch_id: int) -> None:
+        append_bm25_index(batch_df, index_path, batch_id=int(batch_id))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _contrib(n_docs: float, avgdl: float):
     """Per-posting BM25 contribution expression over (tf, dl, df) columns."""
     idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)

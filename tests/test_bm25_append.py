@@ -139,3 +139,47 @@ def test_maxscore_pruning_exact_on_appended_index(spark, tmp_path):
     for k in want:
         assert abs(got[k] - want[k]) < 1.5e-4, k
     assert stats["pruned_queries"] >= 4, stats
+
+
+def test_streaming_index_equals_batch_appends(spark, docs, tmp_path):
+    """Structured-Streaming maintenance ≡ the batch append loop: one doc
+    file per microbatch (maxFilesPerTrigger=1), served results identical
+    to a from-scratch build over the union."""
+    import os
+
+    from extractor_spark.spark.bm25index import streaming_index_docs
+
+    stream_dir = str(tmp_path / "stream_in")
+    os.makedirs(stream_dir)
+    # three disjoint doc files, written as separate parquet FILES inside
+    # the stream dir (driver tables are single files; streams need dirs)
+    for i in range(3):
+        docs.where(f"doc_id % 3 = {i}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"part{i}"))
+        import glob
+        import shutil
+
+        src = glob.glob(str(tmp_path / f"part{i}" / "*.parquet"))[0]
+        shutil.copy(src, os.path.join(stream_dir, f"docs_{i}.parquet"))
+
+    sidx = str(tmp_path / "sidx")
+    streaming_index_docs(
+        spark, stream_dir, sidx, ckpt_dir=str(tmp_path / "ckpt")
+    )
+    scratch = str(tmp_path / "scratch2")
+    build_bm25_index(docs, scratch)
+    queries = _queries_for(spark, docs)
+    got = _rows(bm25_search_index(spark, sidx, queries, topk=10))
+    release_query_caches()
+    want = _rows(bm25_search_index(spark, scratch, queries, topk=10))
+    release_query_caches()
+    assert got.keys() == want.keys() and got
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    # the stream produced one batch per file
+    batches = sorted(
+        r["batch"]
+        for r in spark.read.parquet(sidx + "/_stats").select("batch").collect()
+    )
+    assert batches == [0, 1, 2]
