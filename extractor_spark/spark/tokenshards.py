@@ -4,15 +4,17 @@ GPT-style concat-then-chunk packing every trainer consumes).
 
 Composes the pinned pieces end-to-end, Spark-first:
 
-- **Encoding is map-only.**  Each word occurrence is folded through the
-  learned merge table inline (``bpe._merge_fold`` — the SAME expression
-  the trainer applied, so encoding is exactly the transformation training
-  performed), inside one ``transform`` over the doc's word array: zero
-  shuffles, one corpus pass.  The trainer's distinct-word amortization is
-  the right call for 40 training rounds; for a single encoding pass the
-  map-only plan beats a 10^8-row word-table shuffle join plus a per-doc
-  positional reassembly shuffle — CPU in whole-stage codegen is cheaper
-  than two corpus-keyed exchanges.
+- **Encoding defaults to the distinct-word amortization** (the trainer's
+  own trick): each distinct word is folded through the merge table ONCE
+  (``bpe._merge_fold`` — the SAME expression the trainer applied, so
+  encoding is exactly the transformation training performed), joined back
+  to the positional occurrences, and reassembled per doc.  An "inline"
+  strategy (fold per occurrence, zero shuffles) exists as the independent
+  second implementation for the cross-strategy equality gate — MEASURED
+  slower (414 docs/s at 50k docs/16 merges vs thousands for the join
+  path) because Catalyst evaluates nested higher-order aggregates outside
+  whole-stage codegen, so per-occurrence CPU dominates the two
+  array-packed shuffles the join path pays.
 - **The id vocabulary is provably bounded**: every post-merge symbol is
   either a single character (or the ``</w>`` end-of-word mark) or the
   output of one of the ``n_merges`` merge rules — |vocab| ≤ |alphabet| +
@@ -88,19 +90,72 @@ def bpe_vocab(docs: DataFrame, merges: list[tuple[int, str, str, int]]) -> list[
 
 
 def encode_corpus_ids(
-    docs: DataFrame, merges: list[tuple[int, str, str, int]], vocab: list[str]
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    vocab: list[str],
+    strategy: str = "join",
 ) -> DataFrame:
-    """(doc_id, ids array<int>, n_tokens) — one map-only corpus pass."""
+    """(doc_id, ids array<int>, n_tokens).
+
+    strategy="join" (default): the distinct-word amortization — each
+    distinct word is folded through the merge table ONCE (vocabulary-sized
+    CPU), then joined back to the positional word occurrences and
+    reassembled per doc (two corpus-word-keyed shuffles carrying small
+    array rows).  strategy="inline": zero shuffles, but the nested fold
+    chain runs per word OCCURRENCE — measured 414 docs/s at 50k docs / 16
+    merges vs thousands for the join path, because Catalyst evaluates
+    higher-order aggregates outside whole-stage codegen; kept as the
+    shuffle-free alternative and as an independent implementation for the
+    cross-strategy equality gate."""
     id_map = F.create_map(
         *[x for i, t in enumerate(vocab) for x in (F.lit(t), F.lit(i))]
     )
-    tokens = F.flatten(
-        F.transform(_words_expr(), lambda w: _encode_word_expr(w, merges))
+    if strategy == "inline":
+        tokens = F.flatten(
+            F.transform(_words_expr(), lambda w: _encode_word_expr(w, merges))
+        )
+        return docs.select(
+            "doc_id",
+            F.transform(tokens, lambda t: id_map[t].cast("int")).alias("ids"),
+        ).select("doc_id", "ids", F.size("ids").cast("bigint").alias("n_tokens"))
+
+    word_ids = (
+        docs.select(F.explode(_words_expr()).alias("word"))
+        .distinct()
+        .select(
+            "word",
+            F.transform(
+                _encode_word_expr(F.col("word"), merges),
+                lambda t: id_map[t].cast("int"),
+            ).alias("wids"),
+        )
     )
-    return docs.select(
-        "doc_id",
-        F.transform(tokens, lambda t: id_map[t].cast("int")).alias("ids"),
-    ).select("doc_id", "ids", F.size("ids").cast("bigint").alias("n_tokens"))
+    occ = docs.select(
+        "doc_id", F.posexplode(_words_expr()).alias("pos", "word")
+    )
+    per_doc = (
+        occ.join(word_ids, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "wids"))),
+                    lambda s: s["wids"],
+                )
+            ).alias("ids")
+        )
+    )
+    # docs whose every word was filtered (or empty docs) must still appear
+    # with an empty id array — exact parity with the inline strategy
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
+        )
+        .select("doc_id", "ids", F.size("ids").cast("bigint").alias("n_tokens"))
+    )
 
 
 def pack_token_shards(

@@ -65,12 +65,13 @@ def corpus(spark):
     return docs, merges, vocab
 
 
-def test_inline_encoder_matches_python_reference(spark, corpus):
+@pytest.mark.parametrize("strategy", ["join", "inline"])
+def test_encoder_matches_python_reference(spark, corpus, strategy):
     docs, merges, vocab = corpus
     idx = {t: i for i, t in enumerate(vocab)}
     got = {
         r["doc_id"]: list(r["ids"])
-        for r in encode_corpus_ids(docs, merges, vocab).collect()
+        for r in encode_corpus_ids(docs, merges, vocab, strategy=strategy).collect()
     }
     for row in docs.collect():
         want = [
@@ -78,7 +79,20 @@ def test_inline_encoder_matches_python_reference(spark, corpus):
             for w in _py_words(row["text"])
             for s in _py_encode_word(w, merges)
         ]
-        assert got[row["doc_id"]] == want, row["doc_id"]
+        assert got[row["doc_id"]] == want, (strategy, row["doc_id"])
+
+
+def test_strategies_agree_exactly(spark, corpus):
+    docs, merges, vocab = corpus
+    a = {
+        r["doc_id"]: list(r["ids"])
+        for r in encode_corpus_ids(docs, merges, vocab, strategy="join").collect()
+    }
+    b = {
+        r["doc_id"]: list(r["ids"])
+        for r in encode_corpus_ids(docs, merges, vocab, strategy="inline").collect()
+    }
+    assert a == b
 
 
 def test_inline_encoder_freqs_match_encode_bpe_df(spark, corpus):
