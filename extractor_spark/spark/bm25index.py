@@ -140,20 +140,24 @@ def append_bm25_index(
     # column-pruned scans), not a second corpus pass; every doc contributes
     # ≥1 posting (split of any text is non-empty) so Σtf = Σdl
     written = spark.read.parquet(path).where(F.col("batch") == int(batch_id))
+    _write_side_tables(written, path, batch_id, ow)
+
+
+def _write_side_tables(postings: DataFrame, path: str, batch_id: int, ow: str) -> None:
     (
-        written.agg(
+        postings.agg(
             F.countDistinct("doc_id").cast("double").alias("n_docs"),
             F.sum("tf").cast("double").alias("sum_dl"),
         )
         .withColumn("batch", F.lit(int(batch_id)))
-        .write.mode(mode)
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", ow)
         .partitionBy("batch")
         .parquet(path + "/_stats")
     )
     tf = F.col("tf").cast("double")
     (
-        written.groupBy("term")
+        postings.groupBy("term")
         .agg(
             F.count("*").cast("double").alias("df"),
             F.max(tf).alias("tf_max"),
@@ -161,11 +165,43 @@ def append_bm25_index(
         )
         .withColumn("batch", F.lit(int(batch_id)))
         .repartition(8)
-        .write.mode(mode)
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", ow)
         .partitionBy("batch")
         .parquet(path + "/_df")
     )
+
+
+def compact_bm25_index(spark: SparkSession, path: str, n_partitions: int = 32) -> None:
+    """Rewrite every batch into a single batch 0.  After many streaming
+    appends the index holds k small files per bucket and k side-table rows
+    per term; compaction restores the build-once layout (term-sorted row
+    groups per bucket — row-group pruning quality degrades with fragment
+    count) and TIGHTENS the MaxScore envelope back to a single fold (the
+    folded corner (max tf_max, min dl_min) across batches is looser than
+    the one-batch corner).  Postings are NOT re-tokenized — this is a pure
+    rewrite of the stored rows.  Writes to a sibling temp dir and swaps
+    (the frontier store-swap convention: the local stand-in for an atomic
+    metastore pointer flip)."""
+    import shutil
+
+    tmp = path + "__compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    postings = spark.read.parquet(path).select(
+        "term", "doc_id", "tf", "dl", "bucket"
+    ).withColumn("batch", F.lit(0))
+    (
+        postings.repartition(n_partitions, "bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("bucket", "batch")
+        .parquet(tmp)
+    )
+    written = spark.read.parquet(tmp)
+    _write_side_tables(written, tmp, 0, "static")
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
 
 
 def streaming_index_docs(

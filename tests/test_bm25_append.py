@@ -183,3 +183,29 @@ def test_streaming_index_equals_batch_appends(spark, docs, tmp_path):
         for r in spark.read.parquet(sidx + "/_stats").select("batch").collect()
     )
     assert batches == [0, 1, 2]
+
+
+def test_compaction_preserves_serving_and_merges_batches(spark, docs, tmp_path):
+    from extractor_spark.spark.bm25index import compact_bm25_index
+
+    inc = str(tmp_path / "cmp")
+    build_bm25_index(docs.where("doc_id % 3 = 0"), inc)
+    append_bm25_index(docs.where("doc_id % 3 = 1"), inc, batch_id=1)
+    append_bm25_index(docs.where("doc_id % 3 = 2"), inc, batch_id=2)
+    queries = _queries_for(spark, docs)
+    before = _rows(bm25_search_index(spark, inc, queries, topk=10))
+    release_query_caches()
+    n_postings = spark.read.parquet(inc).count()
+    compact_bm25_index(spark, inc)
+    # one batch left, same postings, identical served results
+    assert sorted(
+        r["batch"]
+        for r in spark.read.parquet(inc + "/_stats").select("batch").collect()
+    ) == [0]
+    assert spark.read.parquet(inc).count() == n_postings
+    assert (
+        spark.read.parquet(inc).select("batch").distinct().collect()[0]["batch"] == 0
+    )
+    after = _rows(bm25_search_index(spark, inc, queries, topk=10))
+    release_query_caches()
+    assert after == before
