@@ -266,3 +266,29 @@ def test_registry_positions_and_threshold_sync():
     # the DuckDB dialects hard-code the thresholds: keep the constants in sync
     assert f">= {_EMB_DECON_THRESHOLD}" in _twin("embedding_decontaminate")
     assert f">= {_BITEXT_THRESHOLD}" in _twin("bitext_margin_mine")
+
+
+def test_rank_eval_decomposed_equals_fused(spark):
+    """The registry's persisted-intermediate form of retrieval_rank_eval ≡
+    the fused single-statement SQL (which the DuckDB twin mirrors), and the
+    decomposition actually collapses the inline-CTE scan explosion."""
+    from extractor_spark.spark.queries import (
+        _RANK_EVAL_SPARK,
+        _views,
+        release_query_caches,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    _views(spark, sf)
+    fused = sorted(tuple(r) for r in spark.sql(_RANK_EVAL_SPARK).collect())
+    df = QUERIES["retrieval_rank_eval"][0](spark, sf)
+    got = sorted(tuple(r) for r in df.collect())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    release_query_caches()
+    assert got == fused and got
+    # fused form plan-audited at 17 parquet scans / 0 reuse; the decomposed
+    # plan must consume the persisted q and post tables.  (Raw FileScan
+    # string counts are meaningless here — the plan string re-prints the
+    # full lineage inside every InMemoryRelation, the documented
+    # plan-STRING double-count caveat — so pin the InMemoryTableScan reads.)
+    assert plan.count("InMemoryTableScan") >= 2, plan.count("InMemoryTableScan")
