@@ -170,7 +170,10 @@ def pack_token_shards(
     from . import caches
 
     spark = encoded.sparkSession
-    base = encoded.where(F.col("n_tokens") > 0)
+    # repartitionByRange runs a range-SAMPLING job over its input before
+    # the real pass — persist the encode so the sample and the checkpoint
+    # write share one evaluation instead of running the encode twice
+    base = encoded.where(F.col("n_tokens") > 0).persist()
     before = caches.persistent_ids(spark.sparkContext)
     parts = (
         base.repartitionByRange(n_parts, "doc_id")
@@ -182,6 +185,7 @@ def pack_token_shards(
     # consumers release via queries.release_query_caches()
     for h in caches.checkpoint_handles_since(spark.sparkContext, before):
         caches.register(h)
+    base.unpersist()  # the checkpoint is materialized; base has no consumers
     by_pid = {r["_pid"]: r["t"] for r in totals}
     offsets, acc = [], 0
     for pid in sorted(by_pid):
