@@ -54,18 +54,35 @@ N_TERM_BUCKETS = 256
 
 
 def build_phrase_index(docs: DataFrame, path: str, n_partitions: int = 32) -> None:
-    """Write the flat positional postings (term, doc_id, pos) to ``path``,
-    hash-partitioned into ``bucket=pmod(xxhash64(term), 256)`` directories.
+    """Full (re)build: one batch-0 append over a fresh index root.
 
-    ``pos`` is 1-based.  The bucket directories are what make serving
-    cheap: a k-term phrase touches ≤k of 256 partitions (PartitionFilters
-    prune the rest at planning time — the same serving layout as the IVF
-    index), and within a bucket rows are term-sorted so row-group min/max
-    stats prune further.  Measured at 500k docs / 28.4M postings: the
-    pruned vocabulary scan reads 3.8M rows in 0.6 s where the flat
-    term-sorted layout re-scanned everything (32 files ≈ one row group
-    each — nothing skipped).
+    Layout: ``bucket=pmod(xxhash64(term), 256)/batch=<id>/`` directories of
+    (term, doc_id, pos) rows, ``pos`` 1-based.  The bucket directories are
+    what make serving cheap: a k-term phrase touches ≤k of 256 partitions
+    (PartitionFilters prune the rest at planning time — the same serving
+    layout as the IVF index), and within a bucket rows are term-sorted so
+    row-group min/max stats prune further.  Measured at 500k docs / 28.4M
+    postings: the pruned vocabulary scan reads 3.8M rows in 0.6 s where
+    the flat term-sorted layout re-scanned everything (32 files ≈ one row
+    group each — nothing skipped).
     """
+    append_phrase_index(docs, path, batch_id=0, n_partitions=n_partitions,
+                        full_rebuild=True)
+
+
+def append_phrase_index(
+    docs: DataFrame,
+    path: str,
+    batch_id: int,
+    n_partitions: int = 32,
+    full_rebuild: bool = False,
+) -> None:
+    """Incremental maintenance, the bm25index/incdedup convention: one
+    tokenize pass over the NEW batch only; postings land under
+    ``bucket=…/batch=<id>/`` and the per-batch (term, df) contribution
+    under ``_df/batch=<id>/`` — serving folds the vocabulary-sized side
+    table.  Batches must carry disjoint doc sets; re-running a batch id
+    overwrites its partitions (retry-idempotent dynamic overwrite)."""
     idx = docs.select(
         "doc_id", F.posexplode(tokenize_expr()).alias("pos0", "term")
     ).select(
@@ -73,25 +90,96 @@ def build_phrase_index(docs: DataFrame, path: str, n_partitions: int = 32) -> No
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),
         F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).alias("bucket"),
+        F.lit(int(batch_id)).alias("batch"),
     )
+    ow = "static" if full_rebuild else "dynamic"
     (
         idx.repartition(n_partitions, "bucket")
         .sortWithinPartitions("term", "doc_id", "pos")
         .write.mode("overwrite")
-        .partitionBy("bucket")
+        .option("partitionOverwriteMode", ow)
+        .partitionBy("bucket", "batch")
         .parquet(path)
     )
-    # document-frequency side table (vocab-sized), used by phrase_search to
-    # drive intersection from the rarest leg.  Computed from the WRITTEN
-    # index (term-column-only scan — cheaper than re-running the explode).
-    # The underscore prefix makes the subdir invisible to parquet reads of
-    # `path` itself.
-    dfs = (
+    # per-batch document-frequency contribution (vocab-sized), used by
+    # phrase_search to drive intersection from the rarest leg.  Computed
+    # from the WRITTEN batch (partition-pruned, term-column-only scan —
+    # cheaper than re-running the explode).  The underscore prefix makes
+    # the subdir invisible to parquet reads of `path` itself.
+    (
         docs.sparkSession.read.parquet(path)
+        .where(F.col("batch") == int(batch_id))
         .groupBy("term")
         .agg(F.count("*").alias("df"))
+        .withColumn("batch", F.lit(int(batch_id)))
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", ow)
+        .partitionBy("batch")
+        .parquet(path + "/_df")
     )
-    dfs.repartition(8).write.mode("overwrite").parquet(path + "/_df")
+
+
+def compact_phrase_index(
+    spark: SparkSession, path: str, n_partitions: int = 32
+) -> None:
+    """Rewrite every batch into a single batch 0 (pure row rewrite, no
+    re-tokenize): restores term-sorted row groups per bucket after many
+    small streaming appends.  Temp-dir + swap (the store-swap convention)."""
+    import shutil
+
+    tmp = path + "__compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    postings = spark.read.parquet(path).select(
+        "term", "doc_id", "pos", "bucket"
+    ).withColumn("batch", F.lit(0))
+    (
+        postings.repartition(n_partitions, "bucket")
+        .sortWithinPartitions("term", "doc_id", "pos")
+        .write.mode("overwrite")
+        .partitionBy("bucket", "batch")
+        .parquet(tmp)
+    )
+    (
+        spark.read.parquet(tmp)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn("batch", F.lit(0))
+        .repartition(8)
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(tmp + "/_df")
+    )
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+
+
+def streaming_phrase_index(
+    spark: SparkSession,
+    docs_stream_dir: str,
+    index_path: str,
+    ckpt_dir: str,
+) -> None:
+    """foreachBatch availableNow drain over a (doc_id, text) file stream —
+    each microbatch appends under its batch-id partitions, so replayed
+    microbatches land on identical content (streaming ≡ batch pinned in
+    tests/test_phrase_append.py)."""
+
+    def handle(batch_df, batch_id: int) -> None:
+        append_phrase_index(batch_df, index_path, batch_id=int(batch_id))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def _phrase_legs(phrases: list[str]) -> list[tuple]:
@@ -156,11 +244,14 @@ def phrase_search(
     legs_rows = _phrase_legs(phrases)
     vocab = sorted({t for _, t, _, _ in legs_rows})
 
-    # postings counts for the query vocabulary (vocab-sized lookup)
+    # postings counts for the query vocabulary (vocab-sized lookup), folded
+    # across the index's batch partitions (one row per batch per term)
     counts = {
         r["term"]: r["df"]
         for r in spark.read.parquet(index_path + "/_df")
         .where(F.col("term").isin(vocab))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
         .collect()
     }
     # rarest leg per phrase (missing term ⇒ 0 postings ⇒ no matches, and
