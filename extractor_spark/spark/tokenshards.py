@@ -159,12 +159,19 @@ def encode_corpus_ids(
 
 
 def pack_token_shards(
-    encoded: DataFrame, seq_len: int, n_parts: int = 16
+    encoded: DataFrame, seq_len: int, n_parts: int = 16,
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """Exact fixed-length sequences (seq_id, token_ids) from per-doc id
-    arrays, docs concatenated in doc_id order and split across sequence
-    boundaries.  Two shuffles total: the range partition behind the
-    prefix sum and the seq_id reassembly."""
+    arrays, docs concatenated and split across sequence boundaries.  Two
+    shuffles total: the range partition behind the prefix sum and the
+    seq_id reassembly.
+
+    ``shuffle_seed``: compose packs over a seeded deterministic global
+    shuffle order (xxhash64(doc_id, seed), doc_id tiebreak) instead of
+    doc_id order — the standard pre-training document shuffle (curate's
+    ``shuffle_seed`` convention), so a sequence mixes documents rather
+    than concatenating neighbors; same seed → identical packs."""
     from pyspark.sql import Window
 
     from . import caches
@@ -173,10 +180,18 @@ def pack_token_shards(
     # repartitionByRange runs a range-SAMPLING job over its input before
     # the real pass — persist the encode so the sample and the checkpoint
     # write share one evaluation instead of running the encode twice
-    base = encoded.where(F.col("n_tokens") > 0).persist()
+    base = encoded.where(F.col("n_tokens") > 0)
+    if shuffle_seed is not None:
+        base = base.withColumn(
+            "_ord", F.xxhash64(F.col("doc_id"), F.lit(int(shuffle_seed)))
+        )
+        order_cols = ["_ord", "doc_id"]
+    else:
+        order_cols = ["doc_id"]
+    base = base.persist()
     before = caches.persistent_ids(spark.sparkContext)
     parts = (
-        base.repartitionByRange(n_parts, "doc_id")
+        base.repartitionByRange(n_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)  # the totals collect materializes it
     )
@@ -192,7 +207,7 @@ def pack_token_shards(
         offsets.append((pid, acc))
         acc += by_pid[pid]
     off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset bigint")
-    w = Window.partitionBy("_pid").orderBy("doc_id")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
     with_start = (
         parts.withColumn("_cs", F.sum("n_tokens").over(w))
         .join(F.broadcast(off_df), "_pid")
@@ -249,7 +264,10 @@ def pack_token_shards(
 
 
 def tokenize_pack(
-    docs: DataFrame, n_merges: int = 24, seq_len: int = 1024
+    docs: DataFrame,
+    n_merges: int = 24,
+    seq_len: int = 1024,
+    shuffle_seed: int | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], list[str], DataFrame]:
     """learn merges → derive vocab → encode → pack.  Returns
     (merges, vocab, shards); shards is lazy over the encoding pass."""
@@ -258,7 +276,9 @@ def tokenize_pack(
     merges = learn_bpe(docs, n_merges=n_merges)
     vocab = bpe_vocab(docs, merges)
     encoded = encode_corpus_ids(docs, merges, vocab)
-    return merges, vocab, pack_token_shards(encoded, seq_len)
+    return merges, vocab, pack_token_shards(
+        encoded, seq_len, shuffle_seed=shuffle_seed
+    )
 
 
 def decode_ids(token_ids: list[int], vocab: list[str]) -> list[str]:

@@ -41,6 +41,7 @@ def run_job(
     n_merges: int = 24,
     seq_len: int = 1024,
     merges_table: str | None = None,
+    shuffle_seed: int | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -77,7 +78,7 @@ def run_job(
 
     with caches.scope():
         encoded = encode_corpus_ids(docs, merges, vocab)
-        shards = pack_token_shards(encoded, seq_len)
+        shards = pack_token_shards(encoded, seq_len, shuffle_seed=shuffle_seed)
         shards.write.mode("overwrite").parquet(os.path.join(output_dir, "shards"))
 
     written = spark.read.parquet(os.path.join(output_dir, "shards"))
@@ -105,6 +106,7 @@ def main() -> None:
     ap.add_argument("--merges", type=int, default=24)
     ap.add_argument("--merges-table", default=None)
     ap.add_argument("--seq-len", type=int, default=1024)
+    ap.add_argument("--shuffle-seed", type=int, default=None)
     ap.add_argument("--cpus", type=int, default=8)
     args = ap.parse_args()
 
@@ -119,6 +121,7 @@ def main() -> None:
         n_merges=args.merges,
         seq_len=args.seq_len,
         merges_table=args.merges_table,
+        shuffle_seed=args.shuffle_seed,
     )
     print(json.dumps(manifest))
 

@@ -159,3 +159,41 @@ def test_registry_query(spark):
     rows2 = q(spark, SF).collect()
     release_query_caches()
     assert [tuple(r) for r in rows2] == [tuple(r) for r in rows]
+
+
+def test_seeded_shuffle_pack_order(spark, corpus):
+    """shuffle_seed composes packs over the seeded global order: roundtrip
+    decode equals the corpus word stream in xxhash64(doc_id, seed) order,
+    same seed reproduces identical packs, and the order differs from the
+    doc_id-ordered packing."""
+    from pyspark.sql import functions as F
+
+    docs, merges, vocab = corpus
+    enc = encode_corpus_ids(docs, merges, vocab)
+    seeded = (
+        pack_token_shards(enc, 128, shuffle_seed=7).orderBy("seq_id").collect()
+    )
+    release_query_caches()
+    plain = pack_token_shards(enc, 128).orderBy("seq_id").collect()
+    release_query_caches()
+    stream = [i for r in seeded for i in r["token_ids"]]
+    assert stream != [i for r in plain for i in r["token_ids"]]
+    order = {
+        r["doc_id"]: r["o"]
+        for r in docs.select(
+            "doc_id", F.xxhash64("doc_id", F.lit(7)).alias("o")
+        ).collect()
+    }
+    want_words = [
+        w
+        for row in sorted(docs.collect(), key=lambda r: (order[r["doc_id"]], r["doc_id"]))
+        for w in _py_words(row["text"])
+    ]
+    assert decode_ids(stream, vocab) == want_words
+    again = (
+        pack_token_shards(enc, 128, shuffle_seed=7).orderBy("seq_id").collect()
+    )
+    release_query_caches()
+    assert [list(r["token_ids"]) for r in again] == [
+        list(r["token_ids"]) for r in seeded
+    ]
