@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .tuning import loop_partitions, scoped_loop_conf
+
 _BMP_ONLY = "^[\u0000-\uffff]+$"  # Java regex: code-point class, astral excluded
 _EOW = "</w>"
 
@@ -104,6 +106,21 @@ def learn_bpe(docs: DataFrame, n_merges: int = 24) -> list[tuple[int, str, str, 
     # and peak symbol-table storage is exactly two rounds
     grand_handles: list = []
 
+    # r6: the merge loop's shuffle width follows the vocabulary size
+    # (tuning.py) — the count below materializes the initial checkpoint,
+    # which round 1's argmax needed anyway; all counts are integers, so
+    # partitioning cannot change any result.
+    n_parts = loop_partitions(sc, state.count())
+
+    merges: list[tuple[int, str, str, int]] = []
+    with scoped_loop_conf(spark, n_parts):
+        merges = _learn_bpe_loop(
+            sc, state, cur_handles, grand_handles, n_merges, caches
+        )
+    return merges
+
+
+def _learn_bpe_loop(sc, state, cur_handles, grand_handles, n_merges, caches):
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         pairs = (

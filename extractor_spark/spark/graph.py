@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import caches
+from .tuning import loop_partitions, scoped_loop_conf
 
 
 def min_label_components(nodes: DataFrame, pairs: DataFrame, key: str) -> DataFrame:
@@ -34,11 +35,24 @@ def min_label_components(nodes: DataFrame, pairs: DataFrame, key: str) -> DataFr
     (min() must order it).  Returns (``key``, cluster_id) where cluster_id
     is the minimum key reachable from the vertex (isolated vertices keep
     their own key)."""
-    edges = pairs.select("src", "dst").unionAll(
+    sc = nodes.sparkSession.sparkContext
+    # r6: loop shuffle width follows the edge count (tuning.py).  The raw
+    # union is persisted first so the sizing count pays the same two
+    # upstream scans the old persist already paid; the loop then runs off
+    # the co-partitioned cache exactly as before.
+    raw = pairs.select("src", "dst").unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    sc = nodes.sparkSession.sparkContext
-    edges = edges.repartition(sc.defaultParallelism, "src")
+    raw.persist()
+    n_parts = loop_partitions(sc, raw.count())
+    with scoped_loop_conf(nodes.sparkSession, n_parts):
+        out = _min_label_loop(nodes, raw, key, sc, n_parts)
+    raw.unpersist()
+    return out
+
+
+def _min_label_loop(nodes, raw, key, sc, n_parts) -> DataFrame:
+    edges = raw.repartition(n_parts, "src")
     edges.persist()
     before = caches.persistent_ids(sc)
     labels = nodes.select(F.col(key), F.col(key).alias("label")).localCheckpoint(
@@ -152,21 +166,26 @@ def star_components(nodes: DataFrame, pairs: DataFrame, key: str) -> DataFrame:
     )
     prev_handles = caches.checkpoint_handles_since(sc, before)
     sig = signature(edges)
-    while True:
-        before = caches.persistent_ids(sc)
-        # lazy checkpoint: the signature aggregate is its materializing job,
-        # so each round is one Spark job; the previous round's blocks are
-        # released only AFTER it runs (its computation reads them, and a
-        # truncated-lineage RDD cannot be recomputed once unpersisted)
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        cur_handles = caches.checkpoint_handles_since(sc, before)
-        new_sig = signature(edges)
-        for h in prev_handles:
-            h.unpersist()
-        prev_handles = cur_handles
-        if new_sig == sig:
-            break
-        sig = new_sig
+    # r6: the initial signature's count sizes the loop's shuffle width for
+    # free (tuning.py) — star rounds only ever shrink the edge set.
+    n_parts = loop_partitions(sc, sig[0])
+    with scoped_loop_conf(spark, n_parts):
+        while True:
+            before = caches.persistent_ids(sc)
+            # lazy checkpoint: the signature aggregate is its materializing
+            # job, so each round is one Spark job; the previous round's
+            # blocks are released only AFTER it runs (its computation reads
+            # them, and a truncated-lineage RDD cannot be recomputed once
+            # unpersisted)
+            edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+            cur_handles = caches.checkpoint_handles_since(sc, before)
+            new_sig = signature(edges)
+            for h in prev_handles:
+                h.unpersist()
+            prev_handles = cur_handles
+            if new_sig == sig:
+                break
+            sig = new_sig
     # fixpoint edges form stars child→(component min); centers and isolated
     # vertices label themselves.
     stars = edges.groupBy("src").agg(F.min("dst").alias("_cluster"))

@@ -4689,6 +4689,10 @@ _BITEXT_COS = """
          , 4) AS DOUBLE) AS c
 """
 
+# Executable spec for the scored frame: the production path
+# (_bitext_scored_frame) computes the same values via a broadcast numpy
+# pass with an identical FP operation sequence; bit-equality of the two
+# forms is pinned by tests/test_retrieval.py::test_bitext_scored_arrow_matches_sql.
 _BITEXT_SCORED_SPARK = f"""
 SELECT a.vec_id AS src, b.vec_id AS dst,
 {_BITEXT_COS}
@@ -4736,14 +4740,88 @@ def _bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitext_margin_mine_frame(spark.table("embeddings"))
 
 
+def _bitext_scored_frame(emb: DataFrame) -> DataFrame:
+    """All-pairs (src, dst, c) cosine frame over the label-parity halves.
+
+    Semantically identical to ``_BITEXT_SCORED_SPARK`` (the Catalyst
+    higher-order-function form, kept above as the executable spec and
+    pinned bit-equal by tests/test_retrieval.py), but ~10x faster: the
+    interpreted zip_with/aggregate lambdas recomputed both endpoint norms
+    per PAIR, i.e. 2·|A|·|B| redundant 64-element folds.  Here the dst
+    half is broadcast (the CROSS JOIN plan already broadcast one side via
+    BroadcastNestedLoopJoin, so peak memory is unchanged) and a numpy
+    mapInPandas pass over the src half computes the same quantities with
+    the SAME floating-point operation sequence:
+
+    - fold order: acc = 0.0; acc += x_k * y_k for k in array order (the
+      SQL ``aggregate`` left-fold) — replicated as a sequential loop over
+      dims, vectorized across pairs (numpy mul-then-add, no FMA, matches
+      the JVM's two-op sequence);
+    - float32 -> float64 widening is exact in both engines;
+    - denominator = sqrt(na2) * sqrt(nb2), then one division — same op
+      order; sqrt/mul/div are IEEE correctly rounded in both;
+    - the final ``round(c, 4)`` stays IN SPARK SQL so the half-up
+      BigDecimal rounding is literally the same code path as before.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    sc = spark.sparkContext
+
+    b_rows = (
+        emb.where("label % 2 = 1").select("vec_id", "embedding").collect()
+    )
+    if not b_rows:
+        return spark.createDataFrame([], "src bigint, dst bigint, c double")
+    b_ids = np.array([r["vec_id"] for r in b_rows], dtype=np.int64)
+    bm = np.array([list(r["embedding"]) for r in b_rows], dtype=np.float64)
+    nb2 = np.zeros(len(bm), dtype=np.float64)
+    for k in range(bm.shape[1]):
+        nb2 += bm[:, k] * bm[:, k]
+    nb = np.sqrt(nb2)
+    bc = sc.broadcast((b_ids, bm, nb))
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        d_ids, dm, dn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            am = np.array(pdf["embedding"].to_list(), dtype=np.float64)
+            dot = np.zeros((len(am), len(dm)), dtype=np.float64)
+            na2 = np.zeros(len(am), dtype=np.float64)
+            for k in range(am.shape[1]):
+                col = am[:, k]
+                dot += col[:, None] * dm[:, k][None, :]
+                na2 += col * col
+            denom = np.sqrt(na2)[:, None] * dn[None, :]
+            c = dot / denom
+            yield pd.DataFrame(
+                {
+                    "src": np.repeat(
+                        pdf["vec_id"].to_numpy(dtype=np.int64), len(d_ids)
+                    ),
+                    "dst": np.tile(d_ids, len(am)),
+                    "c_raw": c.ravel(),
+                }
+            )
+
+    return (
+        emb.where("label % 2 = 0")
+        .select("vec_id", "embedding")
+        .repartition(sc.defaultParallelism)
+        .mapInPandas(score, schema="src bigint, dst bigint, c_raw double")
+        .selectExpr("src", "dst", "CAST(round(c_raw, 4) AS DOUBLE) AS c")
+    )
+
+
 def bitext_margin_mine_frame(emb: DataFrame) -> DataFrame:
     """Mining core over an explicit (vec_id, embedding, label) frame —
     separated so tests can run it on engineered hub/pair vectors."""
     spark = emb.sparkSession
-    emb.createOrReplaceTempView("bitext_emb")
-    scored = spark.sql(
-        _BITEXT_SCORED_SPARK.replace("FROM embeddings", "FROM bitext_emb")
-    ).persist()
+    scored = _bitext_scored_frame(emb).persist()
     caches.register(scored)
     scored.createOrReplaceTempView("bitext_scored")
     return spark.sql(_BITEXT_MINE_SPARK)

@@ -38,6 +38,8 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .tuning import loop_partitions, scoped_loop_conf
+
 
 # ---------------------------------------------------------------------------
 # outlink extraction (engine tokenizer, streaming — no DOM build)
@@ -320,6 +322,28 @@ def pagerank(
         .unionAll(edges.select(F.col("dst_host").alias("host")))
         .distinct()
     )
+    n = nodes.count()
+    if n == 0:
+        edges.unpersist()
+        return spark.createDataFrame([], "host string, rank double")
+    base = (1.0 - damping) / n
+
+    # r6: the loop's shuffle width follows the graph size, not the core
+    # count — 40 rounds of full-width stages over a host-sized frame are
+    # pure scheduling overhead at small scale (tuning.py).
+    n_parts = loop_partitions(sc, max(n, edges.count()))
+    with scoped_loop_conf(spark, n_parts):
+        return _pagerank_loop(
+            spark, edges, nodes, n, n_parts, base, damping, max_iter, tol
+        )
+
+
+def _pagerank_loop(
+    spark, edges, nodes, n, n_parts, base, damping, max_iter, tol
+) -> DataFrame:
+    from . import caches
+
+    sc = spark.sparkContext
     # Pre-normalize transition weights once: w = n_links / total_out(src).
     out_totals = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_total"))
     trans = (
@@ -329,16 +353,9 @@ def pagerank(
             "dst_host",
             (F.col("n_links").cast("double") / F.col("out_total")).alias("w"),
         )
-        .repartition(sc.defaultParallelism, "host")
+        .repartition(n_parts, "host")
     )
     trans.persist()
-
-    n = nodes.count()
-    if n == 0:
-        trans.unpersist()
-        edges.unpersist()
-        return spark.createDataFrame([], "host string, rank double")
-    base = (1.0 - damping) / n
 
     # Dangling = never appears as a source; flagged once, carried in state.
     srcs = edges.select(F.col("src_host").alias("host")).distinct().withColumn(
@@ -452,18 +469,6 @@ def trustrank(
         .unionAll(edges.select(F.col("dst_host").alias("host")))
         .distinct()
     )
-    out_totals = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_total"))
-    trans = (
-        edges.join(out_totals, "src_host")
-        .select(
-            F.col("src_host").alias("host"),
-            "dst_host",
-            (F.col("n_links").cast("double") / F.col("out_total")).alias("w"),
-        )
-        .repartition(sc.defaultParallelism, "host")
-    )
-    trans.persist()
-
     # seed lists are human-curated and bounded (thousands of hosts even at
     # web scale) — broadcastable by construction
     if isinstance(seeds, DataFrame):
@@ -474,9 +479,34 @@ def trustrank(
         ).withColumn("_seed", F.lit(True))
     n_seeds = nodes.join(F.broadcast(seed_df), "host").count()
     if n_seeds == 0:
-        trans.unpersist()
         edges.unpersist()
         return spark.createDataFrame([], "host string, rank double")
+
+    # r6: scale-adaptive loop width (see pagerank / tuning.py)
+    n_parts = loop_partitions(sc, edges.count())
+    with scoped_loop_conf(spark, n_parts):
+        return _trustrank_loop(
+            spark, edges, nodes, seed_df, n_seeds, n_parts, damping, max_iter, tol
+        )
+
+
+def _trustrank_loop(
+    spark, edges, nodes, seed_df, n_seeds, n_parts, damping, max_iter, tol
+) -> DataFrame:
+    from . import caches
+
+    sc = spark.sparkContext
+    out_totals = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_total"))
+    trans = (
+        edges.join(out_totals, "src_host")
+        .select(
+            F.col("src_host").alias("host"),
+            "dst_host",
+            (F.col("n_links").cast("double") / F.col("out_total")).alias("w"),
+        )
+        .repartition(n_parts, "host")
+    )
+    trans.persist()
 
     srcs = edges.select(F.col("src_host").alias("host")).distinct().withColumn(
         "_has_out", F.lit(True)
@@ -610,9 +640,19 @@ def hits(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         edges.unpersist()
         return spark.createDataFrame([], "host string, hub double, authority double")
 
+    # r6: scale-adaptive loop width (see pagerank / tuning.py)
+    n_parts = loop_partitions(sc, max(n, edges.count()))
+    with scoped_loop_conf(spark, n_parts):
+        return _hits_loop(spark, edges, nodes, n, n_parts, max_iter)
+
+
+def _hits_loop(spark, edges, nodes, n, n_parts, max_iter) -> DataFrame:
+    from . import caches
+
+    sc = spark.sparkContext
     w = edges.select("src_host", "dst_host", F.col("n_links").cast("double").alias("w"))
-    by_src = w.repartition(sc.defaultParallelism, "src_host").persist()
-    by_dst = w.repartition(sc.defaultParallelism, "dst_host").persist()
+    by_src = w.repartition(n_parts, "src_host").persist()
+    by_dst = w.repartition(n_parts, "dst_host").persist()
 
     before = caches.persistent_ids(sc)
     state = nodes.select(

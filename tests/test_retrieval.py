@@ -192,6 +192,36 @@ def test_bitext_margin_hub_cancellation(spark):
     assert all(got[1][2] > hm for hm in hub_margins)
 
 
+def test_bitext_scored_arrow_matches_sql(spark):
+    """The numpy mapInPandas scorer (r6 optimization) must be BIT-identical
+    to the Catalyst HOF spec `_BITEXT_SCORED_SPARK`: same fold order over
+    dims, exact float32->float64 widening, round(.,4) applied by Spark SQL
+    in both paths.  Exact tuple equality — no tolerance."""
+    import random
+
+    from extractor_spark.spark.queries import (
+        _BITEXT_SCORED_SPARK,
+        _bitext_scored_frame,
+    )
+
+    rng = random.Random(60601)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], i % 2)
+        for i in range(90)
+    ]
+    # float32 storage (the parquet schema) exercises the widening path
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    emb.createOrReplaceTempView("bitext_emb")
+    want = spark.sql(
+        _BITEXT_SCORED_SPARK.replace("FROM embeddings", "FROM bitext_emb")
+    ).collect()
+    got = _bitext_scored_frame(emb).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == 45 * 45
+
+
 def test_region_sample_cap_and_coverage(spark):
     """Per-region cap holds, and no region present in the corpus is left
     without representatives (coverage preservation — the point of
