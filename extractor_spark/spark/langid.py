@@ -37,11 +37,13 @@ from pyspark.sql import functions as F
 _SCALE = 1_000_000  # micro-nats
 
 
-def doc_trigrams(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang, tri) — one row per character trigram of
-    lower(trim(text)).  Whitespace runs collapse to a single space so
-    formatting doesn't leak into the model."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+def _trigram_norm():
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+
+
+def _hof_tris(norm):
+    """Trigram-array spec expression (r5): split to a char array once,
+    then zip_with over three shifted slices."""
     chars = F.filter(F.split(norm, "(?!^)"), lambda c: c != "")
     # zip_with over three shifted slices, NOT element_at(chars, i) inside a
     # sequence-transform: Catalyst inlines `chars` into every element_at
@@ -53,11 +55,45 @@ def doc_trigrams(docs: DataFrame) -> DataFrame:
     s1 = F.slice(chars, 1, m)
     s2 = F.slice(chars, 2, m)
     s3 = F.slice(chars, 3, m)
-    tris = F.zip_with(
+    return F.zip_with(
         F.zip_with(s1, s2, lambda a, b: F.concat(a, b)),
         s3,
         lambda ab, c: F.concat(ab, c),
     )
+
+
+def _doc_trigrams_hof(docs: DataFrame) -> DataFrame:
+    """Spec form of the trigram extraction — tests/test_langid_model.py
+    pins the production form exactly equal to it."""
+    return docs.select(
+        "doc_id", "lang", F.explode(_hof_tris(_trigram_norm())).alias("tri")
+    )
+
+
+def doc_trigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, tri) — one row per character trigram of
+    lower(trim(text)).  Whitespace runs collapse to a single space so
+    formatting doesn't leak into the model.
+
+    r6 fast path: ONE compiled-regex pass — overlapping trigrams via a
+    lookahead capture, ``regexp_extract_all(norm, '(?s)(?=(.{3}))', 1)``
+    — instead of the char-split + 3 slices + nested interpreted zip_with
+    chain (~2.5x on the extraction-bound langid query).  (?s) keeps the
+    Unicode line separators that survive the ASCII-only \\s collapse
+    matchable by ``.``.
+
+    The split spec operates on UTF-16 code UNITS (astral chars become two
+    lone-surrogate "chars"), while Java regex advances by code POINTS —
+    so rows containing astral chars take the spec branch (CASE WHEN
+    evaluates per row, and the corpus is overwhelmingly BMP).  Equality
+    vs the spec form on adversarial inputs (astral, U+2028/9, NBSP,
+    combining marks) AND the corpus is pinned by
+    tests/test_langid_model.py::test_trigram_regexp_matches_spec."""
+    norm = _trigram_norm()
+    fast = F.regexp_extract_all(norm, F.lit(r"(?s)(?=(.{3}))"), 1)
+    tris = F.when(
+        norm.rlike(r"[\x{10000}-\x{10FFFF}]"), _hof_tris(norm)
+    ).otherwise(fast)
     return docs.select("doc_id", "lang", F.explode(tris).alias("tri"))
 
 

@@ -80,6 +80,42 @@ def _twin(spark):
     return actual, preds
 
 
+def test_trigram_regexp_matches_spec(spark):
+    """The r6 regexp_extract_all trigram extraction must produce EXACTLY
+    the spec form's rows (same trigrams, same order per doc) — including
+    astral chars (surrogate pairs), Unicode line/paragraph separators
+    (U+2028/U+2029 survive the \\s collapse: Java \\s is ASCII-only),
+    NBSP, combining marks, short/empty/null texts."""
+    from extractor_spark.spark.langid import _doc_trigrams_hof, doc_trigrams
+    from extractor_spark.spark.queries import _views
+
+    adversarial = [
+        (0, "en", "abc def  ghi\t\njk"),
+        (1, "en", "ab"),
+        (2, "en", ""),
+        (3, "en", None),
+        (4, "en", "x y z w"),          # line/para separators
+        (5, "en", "a\U0001f600b\U0001f680cd"),   # astral emoji
+        (6, "en", "école française"),  # combining marks
+        (7, "en", "A B C"),            # NBSP (not Java \s)
+        (8, "en", "  leading and trailing  "),
+        (9, "en", "ЖЩ间한🙂🙂🙂"),
+    ]
+    docs = spark.createDataFrame(
+        adversarial, "doc_id long, lang string, text string"
+    )
+    got = [tuple(r) for r in doc_trigrams(docs).collect()]
+    want = [tuple(r) for r in _doc_trigrams_hof(docs).collect()]
+    assert sorted(got) == sorted(want) and len(want) > 20
+
+    # and on the real corpus: exact multiset equality
+    _views(spark, SF_DIR)
+    corpus = spark.table("documents")
+    g = Counter(tuple(r) for r in doc_trigrams(corpus).collect())
+    w = Counter(tuple(r) for r in _doc_trigrams_hof(corpus).collect())
+    assert g == w
+
+
 def test_predictions_match_integer_twin(spark):
     from extractor_spark.spark.queries import QUERIES
 
