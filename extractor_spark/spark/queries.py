@@ -2040,10 +2040,17 @@ def _incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc = spark.sparkContext
         before = caches.persistent_ids(sc)
         outs = []
-        for b in range(3):
-            batch = docs.filter(F.col("b") == b).select("url", "text")
-            v = dedup_batch(spark, work, batch, batch_id=b)
-            outs.append(v.withColumn("batch_idx", F.lit(b)))
+        # r6: the probe/verify shuffles inside each batch are sized by the
+        # batch, not the core count (tuning.py); verdicts are min/compare
+        # exact, so width cannot change results.
+        from .tuning import loop_partitions, scoped_loop_conf
+
+        n_parts = loop_partitions(sc, spark.table("documents").count())
+        with scoped_loop_conf(spark, n_parts):
+            for b in range(3):
+                batch = docs.filter(F.col("b") == b).select("url", "text")
+                v = dedup_batch(spark, work, batch, batch_id=b)
+                outs.append(v.withColumn("batch_idx", F.lit(b)))
         mid_handles = caches.checkpoint_handles_since(sc, before)
         mid = caches.persistent_ids(sc)
         res = outs[0].unionByName(outs[1]).unionByName(outs[2]).select(
