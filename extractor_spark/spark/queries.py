@@ -1948,6 +1948,11 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in-cell near-dup pairs against the oracled exact embedding_cosine_dups.
 _SEMDEDUP_THRESHOLD = 0.45  # the corpus's near-dup regime (isotropic test
 # embeddings have no 0.9-cosine pairs; production uses 0.9+)
+# Executable spec for the in-cell near-dup pairs; the production path
+# (_semdedup_pairs_frame) runs the same candidate joins but verifies the
+# cosine in a numpy mapInPandas pass with an identical FP operation
+# sequence (the bitext pattern) — bit-equality pinned by
+# tests/test_retrieval.py::test_semdedup_pairs_arrow_matches_sql.
 _SEMDEDUP_PAIRS = """
 SELECT a.vec_id AS src, b.vec_id AS dst
 FROM embeddings a
@@ -1961,6 +1966,52 @@ WHERE aggregate(zip_with(a.embedding, b.embedding,
          * sqrt(aggregate(b.embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
       >= {threshold}
 """
+
+_SEMDEDUP_CAND = """
+SELECT a.vec_id AS src, b.vec_id AS dst, a.embedding AS ea, b.embedding AS eb
+FROM embeddings a
+JOIN ivf_cells ca ON ca.vec_id = a.vec_id
+JOIN ivf_cells cb ON cb.cell = ca.cell
+JOIN embeddings b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+"""
+
+
+def _semdedup_pairs_frame(spark: SparkSession, threshold: float) -> DataFrame:
+    """In-cell near-dup pairs — same candidate joins as the spec SQL, but
+    the per-pair cosine threshold runs vectorized in Python: the three
+    interpreted higher-order aggregates re-ran both endpoint norms per
+    PAIR.  FP fidelity mirrors _bitext_scored_frame: exact float->double
+    widening, sequential fold over dims (mul then add, the JVM's two-op
+    sequence), denominator = sqrt(na2)*sqrt(nb2) then one division —
+    bit-identical, so the >= compare admits exactly the same pairs."""
+
+    def verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            am = np.array(pdf["ea"].to_list(), dtype=np.float64)
+            bm = np.array(pdf["eb"].to_list(), dtype=np.float64)
+            dot = np.zeros(len(am), dtype=np.float64)
+            na2 = np.zeros(len(am), dtype=np.float64)
+            nb2 = np.zeros(len(am), dtype=np.float64)
+            for k in range(am.shape[1]):
+                ca, cb = am[:, k], bm[:, k]
+                dot += ca * cb
+                na2 += ca * ca
+                nb2 += cb * cb
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = dot / (np.sqrt(na2) * np.sqrt(nb2))
+            keep = c >= threshold
+            yield pd.DataFrame(
+                {"src": pdf["src"][keep], "dst": pdf["dst"][keep]}
+            )
+
+    return spark.sql(_SEMDEDUP_CAND).mapInPandas(
+        verify, schema="src bigint, dst bigint"
+    )
 
 
 def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1977,7 +2028,7 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for h in caches.checkpoint_handles_since(sc, before):
         caches.register(h)
 
-    pairs = spark.sql(_SEMDEDUP_PAIRS.format(threshold=_SEMDEDUP_THRESHOLD))
+    pairs = _semdedup_pairs_frame(spark, _SEMDEDUP_THRESHOLD)
     labels = min_label_components(spark.table("embeddings"), pairs, "vec_id")
     return labels.select(
         F.col("vec_id").cast("long").alias("vec_id"),

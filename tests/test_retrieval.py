@@ -222,6 +222,42 @@ def test_bitext_scored_arrow_matches_sql(spark):
     assert len(got) == 45 * 45
 
 
+def test_semdedup_pairs_arrow_matches_sql(spark):
+    """The numpy in-cell verify (r6) must admit EXACTLY the spec SQL's
+    pairs — same candidate joins, bit-identical cosine fold (see
+    test_bitext_scored_arrow_matches_sql for the FP argument)."""
+    from extractor_spark.spark.queries import (
+        _SEMDEDUP_PAIRS,
+        _SEMDEDUP_THRESHOLD,
+        _ivf_assign_cells,
+        _ivf_centroids,
+        _semdedup_pairs_frame,
+        _views,
+    )
+
+    from extractor_spark.spark import caches
+
+    _views(spark, "/root/testdata/sf0.01")
+    sc = spark.sparkContext
+    before = caches.persistent_ids(sc)
+    cells = _ivf_assign_cells(spark, _ivf_centroids(spark)).localCheckpoint()
+    cells.createOrReplaceTempView("ivf_cells")
+    for h in caches.checkpoint_handles_since(sc, before):
+        caches.register(h)
+    want = sorted(
+        tuple(r)
+        for r in spark.sql(
+            _SEMDEDUP_PAIRS.format(threshold=_SEMDEDUP_THRESHOLD)
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in _semdedup_pairs_frame(spark, _SEMDEDUP_THRESHOLD).collect()
+    )
+    release_query_caches()
+    assert got == want and len(want) > 0
+
+
 def test_region_sample_cap_and_coverage(spark):
     """Per-region cap holds, and no region present in the corpus is left
     without representatives (coverage preservation — the point of
