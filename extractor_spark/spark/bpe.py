@@ -109,8 +109,14 @@ def learn_bpe(docs: DataFrame, n_merges: int = 24) -> list[tuple[int, str, str, 
     # r6: the merge loop's shuffle width follows the vocabulary size
     # (tuning.py) — the count below materializes the initial checkpoint,
     # which round 1's argmax needed anyway; all counts are integers, so
-    # partitioning cannot change any result.
-    n_parts = loop_partitions(sc, state.count())
+    # partitioning cannot change any result.  Unlike the host-graph
+    # loops, each state row carries a symbol ARRAY and every round
+    # re-runs a per-row pair explode — CPU-heavy per row — so the
+    # rows-per-partition target is 16x smaller than the default
+    # (measured: width 1 at a ~40k-word vocab serialized the explode and
+    # cost ~1.5 s/query; ~3k rows/partition restores the parallelism
+    # while still avoiding full-width 32-task rounds at tiny vocabs).
+    n_parts = loop_partitions(sc, state.count(), rows_per_partition=3_000)
 
     merges: list[tuple[int, str, str, int]] = []
     with scoped_loop_conf(spark, n_parts):
