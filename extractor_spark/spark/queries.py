@@ -18,6 +18,8 @@ counterpart (ngram_jaccard_pairs, exact fingerprints, brute-force cosine).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from . import caches
@@ -26,13 +28,34 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# (applicationId, path) -> (mtime_ns, DataFrame).  `spark.read.parquet`
+# lists the path and reads footers eagerly — ~0.7 s for the 10 tables,
+# paid by EVERY query invocation before r6 (~60 s across a 90-query
+# bench suite).  The reader DataFrames are memoized per session+path;
+# the temp views are still (re-)registered on every call, so tests that
+# overwrite a view with an engineered frame keep getting reset, and the
+# mtime key re-reads a path whose file changed (e.g. a freshly written
+# planted-corpus dir).  No query RESULTS are cached — only reader plans.
+_VIEW_DF_CACHE: dict = {}
+
 
 def _views(spark: SparkSession, sf_dir: str) -> None:
     # Oracle comparisons assume UTC timestamp semantics (TESTDATA parquet is
     # UTC-naive; DuckDB reads it naively).  Session-settable at runtime.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    app = spark.sparkContext.applicationId
     for name in TABLES:
-        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+        path = f"{sf_dir}/{name}.parquet"
+        try:
+            mtime = os.stat(path).st_mtime_ns
+        except OSError:
+            mtime = None
+        key = (app, path)
+        ent = _VIEW_DF_CACHE.get(key)
+        if ent is None or ent[0] != mtime:
+            ent = (mtime, spark.read.parquet(path))
+            _VIEW_DF_CACHE[key] = ent
+        ent[1].createOrReplaceTempView(name)
 
 
 def _sql(statement: str):
