@@ -222,11 +222,19 @@ def curate(
         docs = apply_blocklist(docs, dom, pre)
         stats["after_blocklist"] = docs.count()
 
-    # 1. exact dedup (keep min url per fingerprint)
-    w = Window.partitionBy(F.md5("text")).orderBy("url")
-    docs = (
-        docs.withColumn("_rk", F.row_number().over(w)).filter("_rk = 1").drop("_rk")
+    # 1. exact dedup (keep min url per fingerprint).  r6: decide on LIGHT
+    # (url, md5) rows and attach once — same winner set as the payload
+    # window (identical window spec), one url-keyed join instead of
+    # shuffling text+markdown through the fingerprint window (AQE
+    # broadcasts the winner set at bench scale).
+    w = Window.partitionBy("_fp").orderBy("url")
+    keep = (
+        docs.select("url", F.md5("text").alias("_fp"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter("_rk = 1")
+        .select("url")
     )
+    docs = docs.join(keep, "url")
     before = caches.persistent_ids(sc)
     # lazy: the stage count below is the materializing job (one pass, not
     # checkpoint + count); reused by pairs + components + filter
