@@ -52,8 +52,15 @@ def min_label_components(nodes: DataFrame, pairs: DataFrame, key: str) -> DataFr
 
 
 def _min_label_loop(nodes, raw, key, sc, n_parts) -> DataFrame:
-    edges = raw.repartition(n_parts, "src")
-    edges.persist()
+    # r6: eager localCheckpoint, not persist — the pair frame's LOGICAL
+    # plan (band joins, verify chains) would otherwise be re-walked by
+    # every round's analysis/optimization (the cache only short-circuits
+    # execution; see webgraph._pagerank_loop).  raw is persisted and
+    # already materialized by the caller's sizing count, so the
+    # checkpoint job only pays the repartition.
+    before = caches.persistent_ids(sc)
+    edges = raw.repartition(n_parts, "src").localCheckpoint(eager=True)
+    edge_handles = caches.checkpoint_handles_since(sc, before)
     before = caches.persistent_ids(sc)
     labels = nodes.select(F.col(key), F.col(key).alias("label")).localCheckpoint(
         eager=False
@@ -96,7 +103,8 @@ def _min_label_loop(nodes, raw, key, sc, n_parts) -> DataFrame:
         labels = new_labels.drop("_changed")
         if n_changed == 0:
             break
-    edges.unpersist()
+    for h in edge_handles:
+        h.unpersist()
     # the final checkpoint backs the (lazy) result — consumers release it
     # via queries.release_query_caches() after collecting
     for h in prev_handles:

@@ -355,7 +355,16 @@ def _pagerank_loop(
         )
         .repartition(n_parts, "host")
     )
-    trans.persist()
+    # r6: eager localCheckpoint, not persist — a bare persist leaves the
+    # full upstream LOGICAL plan (the Python outlink extraction) inside
+    # trans, and every round's analysis/optimization re-walks it: the
+    # cache short-circuits execution, not planning.  Truncating the
+    # lineage makes each round's plan LogicalRDD-sized (measured ~-1 s
+    # per 20-round loop at sf0.1, outputs bit-identical —
+    # scripts/probe_unroll_pagerank.py).
+    before_trans = caches.persistent_ids(sc)
+    trans = trans.localCheckpoint(eager=True)
+    trans_handles = caches.checkpoint_handles_since(sc, before_trans)
 
     # Dangling = never appears as a source; flagged once, carried in state.
     srcs = edges.select(F.col("src_host").alias("host")).distinct().withColumn(
@@ -420,7 +429,8 @@ def _pagerank_loop(
         if delta < tol:
             break
 
-    trans.unpersist()
+    for h in trans_handles:
+        h.unpersist()
     edges.unpersist()
     # the final checkpoint backs the (lazy) result — consumers release it
     # via queries.release_query_caches() after collecting
@@ -506,7 +516,12 @@ def _trustrank_loop(
         )
         .repartition(n_parts, "host")
     )
-    trans.persist()
+    # r6: eager localCheckpoint for the same planning-cost reason as
+    # _pagerank_loop — a persist keeps the full upstream logical plan in
+    # every round's analysis
+    before_trans = caches.persistent_ids(sc)
+    trans = trans.localCheckpoint(eager=True)
+    trans_handles = caches.checkpoint_handles_since(sc, before_trans)
 
     srcs = edges.select(F.col("src_host").alias("host")).distinct().withColumn(
         "_has_out", F.lit(True)
@@ -574,7 +589,8 @@ def _trustrank_loop(
         if delta < tol:
             break
 
-    trans.unpersist()
+    for h in trans_handles:
+        h.unpersist()
     edges.unpersist()
     for h in prev_handles:
         caches.register(h)
@@ -626,24 +642,34 @@ def hits(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
     edges = edges.persist()
     # unlike pagerank, the node frame is re-joined EVERY round (zero-fill of
-    # hosts missing from a round's sums) — persist it or each round re-runs
-    # the distinct shuffle
+    # hosts missing from a round's sums) — an eager localCheckpoint both
+    # caches it AND truncates its logical plan (a bare persist would leave
+    # the full upstream lineage in every round's analysis, see
+    # _pagerank_loop)
+    before_nodes = caches.persistent_ids(sc)
     nodes = (
         edges.select(F.col("src_host").alias("host"))
         .unionAll(edges.select(F.col("dst_host").alias("host")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    nodes_handles = caches.checkpoint_handles_since(sc, before_nodes)
     n = nodes.count()
     if n == 0:
-        nodes.unpersist()
+        for h in nodes_handles:
+            h.unpersist()
         edges.unpersist()
         return spark.createDataFrame([], "host string, hub double, authority double")
 
     # r6: scale-adaptive loop width (see pagerank / tuning.py)
     n_parts = loop_partitions(sc, max(n, edges.count()))
     with scoped_loop_conf(spark, n_parts):
-        return _hits_loop(spark, edges, nodes, n, n_parts, max_iter)
+        out = _hits_loop(spark, edges, nodes, n, n_parts, max_iter)
+    # the final state checkpoint (registered by the loop) backs the lazy
+    # result; the node frame does not — free it now
+    for h in nodes_handles:
+        h.unpersist()
+    return out
 
 
 def _hits_loop(spark, edges, nodes, n, n_parts, max_iter) -> DataFrame:
@@ -651,8 +677,12 @@ def _hits_loop(spark, edges, nodes, n, n_parts, max_iter) -> DataFrame:
 
     sc = spark.sparkContext
     w = edges.select("src_host", "dst_host", F.col("n_links").cast("double").alias("w"))
-    by_src = w.repartition(n_parts, "src_host").persist()
-    by_dst = w.repartition(n_parts, "dst_host").persist()
+    # r6: eager localCheckpoints (not persists) so each round's plans are
+    # LogicalRDD-sized — see _pagerank_loop
+    before_w = caches.persistent_ids(sc)
+    by_src = w.repartition(n_parts, "src_host").localCheckpoint(eager=True)
+    by_dst = w.repartition(n_parts, "dst_host").localCheckpoint(eager=True)
+    w_handles = caches.checkpoint_handles_since(sc, before_w)
 
     before = caches.persistent_ids(sc)
     state = nodes.select(
@@ -708,9 +738,8 @@ def _hits_loop(spark, edges, nodes, n, n_parts, max_iter) -> DataFrame:
         prev_handles = cur_handles
 
     sa = state.agg(F.sum("authority")).first()[0]
-    by_src.unpersist()
-    by_dst.unpersist()
-    nodes.unpersist()
+    for h in w_handles:
+        h.unpersist()
     edges.unpersist()
     for h in prev_handles:
         caches.register(h)
