@@ -215,10 +215,17 @@ def streaming_index_docs(
     under ``batch=<microbatch id>`` via :func:`append_bm25_index` — the
     same idempotent partition-overwrite write, so Structured Streaming's
     replayed microbatches (post-crash) land on identical content.
-    streaming ≡ batch equality pinned in tests/test_bm25_append.py."""
+    streaming ≡ batch equality pinned in tests/test_bm25_append.py.
+    Batch ids are offset past any batches an earlier build/append/compact
+    already owns (:func:`phraseindex.stream_batch_offset` — a fresh
+    checkpoint's microbatch 0 must not overwrite batch-0 partitions it
+    did not produce)."""
+    from .phraseindex import stream_batch_offset
+
+    off = stream_batch_offset(index_path, ckpt_dir)
 
     def handle(batch_df, batch_id: int) -> None:
-        append_bm25_index(batch_df, index_path, batch_id=int(batch_id))
+        append_bm25_index(batch_df, index_path, batch_id=int(batch_id) + off)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -323,7 +330,13 @@ def bm25_search_index(
     n_docs = float(sum(r["n_docs"] for r in srows))
     if n_docs == 0:
         return spark.createDataFrame([], "query_id int, doc_id long, score double")
-    avgdl = float(sum(r["sum_dl"] for r in srows)) / n_docs
+    if srows and "sum_dl" in srows[0].asDict():
+        avgdl = float(sum(r["sum_dl"] for r in srows)) / n_docs
+    else:
+        # legacy (pre-batch) side table stores avgdl directly — fold as a
+        # doc-weighted mean so the no-envelope serve path below (has_ub
+        # False → full scoring) is actually reachable for such indexes
+        avgdl = float(sum(r["avgdl"] * r["n_docs"] for r in srows)) / n_docs
     df_tbl = spark.read.parquet(index_path + "/_df")
     has_ub = "tf_max" in df_tbl.columns
     if has_ub:

@@ -154,6 +154,42 @@ def compact_phrase_index(
     shutil.move(tmp, path)
 
 
+def stream_batch_offset(index_path: str, ckpt_dir: str) -> int:
+    """Stable offset added to Structured Streaming microbatch ids before
+    they become index batch ids.
+
+    Microbatch ids are scoped to the CHECKPOINT and start at 0, while
+    ``batch=`` partitions are owned by whoever wrote them — a stream
+    started with a fresh checkpoint against an index that already holds
+    batch 0 (from a build, prior appends, or a compaction, which folds
+    everything into batch 0) would silently overwrite those partitions
+    via the idempotent dynamic-partition-overwrite convention.  The
+    offset is read ONCE from the index's max existing batch id and pinned
+    in a sidecar file next to the checkpoint dir, so restarts of the SAME
+    stream reuse it (replayed microbatches still land on their own
+    partitions — replay idempotency is unchanged) while a fresh
+    checkpoint always starts past every batch it did not produce.
+    """
+    import glob
+    import os
+
+    marker = ckpt_dir.rstrip("/") + ".index_batch_offset"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return int(f.read().strip())
+    mx = -1
+    for d in glob.glob(os.path.join(index_path, "bucket=*", "batch=*")):
+        try:
+            mx = max(mx, int(os.path.basename(d).split("=", 1)[1]))
+        except ValueError:
+            pass
+    off = mx + 1
+    os.makedirs(os.path.dirname(marker) or ".", exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(str(off))
+    return off
+
+
 def streaming_phrase_index(
     spark: SparkSession,
     docs_stream_dir: str,
@@ -163,10 +199,13 @@ def streaming_phrase_index(
     """foreachBatch availableNow drain over a (doc_id, text) file stream —
     each microbatch appends under its batch-id partitions, so replayed
     microbatches land on identical content (streaming ≡ batch pinned in
-    tests/test_phrase_append.py)."""
+    tests/test_phrase_append.py).  Batch ids are offset past any batches
+    an earlier build/append/compact already owns
+    (:func:`stream_batch_offset`)."""
+    off = stream_batch_offset(index_path, ckpt_dir)
 
     def handle(batch_df, batch_id: int) -> None:
-        append_phrase_index(batch_df, index_path, batch_id=int(batch_id))
+        append_phrase_index(batch_df, index_path, batch_id=int(batch_id) + off)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")

@@ -137,7 +137,8 @@ def test_maxscore_pruning_exact_on_appended_index(spark, tmp_path):
     release_query_caches()
     assert got.keys() == want.keys()
     for k in want:
-        assert abs(got[k] - want[k]) < 1.5e-4, k
+        # exact equality of the rounded scores (see test_bm25_maxscore)
+        assert got[k] == want[k], k
     assert stats["pruned_queries"] >= 4, stats
 
 
@@ -209,3 +210,87 @@ def test_compaction_preserves_serving_and_merges_batches(spark, docs, tmp_path):
     after = _rows(bm25_search_index(spark, inc, queries, topk=10))
     release_query_caches()
     assert after == before
+
+
+def test_streaming_fresh_checkpoint_offsets_past_existing_batches(
+    spark, docs, tmp_path
+):
+    """Microbatch ids are checkpoint-scoped and restart at 0 — a stream
+    started with a FRESH checkpoint against an index that already holds
+    batch 0 must append PAST it (stream_batch_offset), never silently
+    overwrite it via the idempotent partition-overwrite convention."""
+    import glob
+    import os
+    import shutil
+
+    from extractor_spark.spark.bm25index import streaming_index_docs
+
+    idx = str(tmp_path / "idx")
+    build_bm25_index(docs.where("doc_id % 3 = 0"), idx)  # owns batch 0
+    stream_dir = str(tmp_path / "stream_in")
+    os.makedirs(stream_dir)
+    for i in (1, 2):
+        part = str(tmp_path / f"p{i}")
+        docs.where(f"doc_id % 3 = {i}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        shutil.copy(
+            glob.glob(part + "/*.parquet")[0],
+            os.path.join(stream_dir, f"docs_{i}.parquet"),
+        )
+    streaming_index_docs(
+        spark, stream_dir, idx, ckpt_dir=str(tmp_path / "fresh_ckpt")
+    )
+    batches = sorted(
+        r["batch"]
+        for r in spark.read.parquet(idx + "/_stats").select("batch").collect()
+    )
+    assert batches == [0, 1, 2]  # batch 0 untouched, stream landed past it
+    # served results over the merged index ≡ a from-scratch build
+    scratch = str(tmp_path / "scratch")
+    build_bm25_index(docs, scratch)
+    queries = _queries_for(spark, docs)
+    got = _rows(bm25_search_index(spark, idx, queries, topk=10))
+    release_query_caches()
+    want = _rows(bm25_search_index(spark, scratch, queries, topk=10))
+    release_query_caches()
+    assert got.keys() == want.keys() and got
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_legacy_side_tables_fall_back_to_full_scoring(spark, docs, tmp_path):
+    """A pre-batch-format index (df-only _df, n_docs/avgdl _stats) cannot
+    prune — the serve path must reach the no-envelope fallback (not crash
+    on the missing sum_dl column) and produce the standard full-scoring
+    results."""
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    build_bm25_index(docs, idx)
+    queries = _queries_for(spark, docs)
+    want = _rows(bm25_search_index(spark, idx, queries, topk=10))
+    release_query_caches()
+    # rewrite the side tables in the legacy schema
+    legacy_df = (
+        spark.read.parquet(idx + "/_df")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    srows = spark.read.parquet(idx + "/_stats").collect()
+    n_docs = int(sum(r["n_docs"] for r in srows))
+    avgdl = float(sum(r["sum_dl"] for r in srows)) / n_docs
+    shutil.rmtree(idx + "/_df")
+    shutil.rmtree(idx + "/_stats")
+    spark.createDataFrame(
+        [(r["term"], int(r["df"])) for r in legacy_df], "term string, df long"
+    ).write.parquet(idx + "/_df")
+    spark.createDataFrame(
+        [(n_docs, avgdl)], "n_docs bigint, avgdl double"
+    ).write.parquet(idx + "/_stats")
+    stats: dict = {}
+    got = _rows(bm25_search_index(spark, idx, queries, topk=10, stats_out=stats))
+    release_query_caches()
+    assert stats["pruned_queries"] == 0 and stats["fallback_queries"] > 0
+    assert got == want

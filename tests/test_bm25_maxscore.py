@@ -80,7 +80,12 @@ def test_pruned_equals_full_on_zipf(spark, zipf_idx):
     full = _rows(bm25_search_index(spark, path, queries, topk=10, prune=False))
     assert pruned.keys() == full.keys()
     for key in full:
-        assert abs(pruned[key] - full[key]) < 1.5e-4, key
+        # exact equality of the ROUNDED scores: the _ROUND_MARGIN
+        # argument makes pruning exact post-rounding, so any real
+        # divergence is at least one 4-dp grid step — a tolerance of
+        # 1.5e-4 would silently admit it (membership equality above
+        # remains the primary gate)
+        assert pruned[key] == full[key], key
     # the pruning must actually fire on this corpus, not silently fall back
     assert stats["pruned_queries"] >= 8, stats
     assert 0 < stats["candidates"] <= 12 * 80, stats
@@ -98,7 +103,12 @@ def test_all_hot_query_falls_back_and_matches(spark, zipf_idx):
     assert stats["fallback_queries"] == 1 and stats["pruned_queries"] == 0
     assert pruned.keys() == full.keys() and pruned
     for key in full:
-        assert abs(pruned[key] - full[key]) < 1.5e-4, key
+        # exact equality of the ROUNDED scores: the _ROUND_MARGIN
+        # argument makes pruning exact post-rounding, so any real
+        # divergence is at least one 4-dp grid step — a tolerance of
+        # 1.5e-4 would silently admit it (membership equality above
+        # remains the primary gate)
+        assert pruned[key] == full[key], key
     from extractor_spark.spark.queries import release_query_caches
 
     release_query_caches()
