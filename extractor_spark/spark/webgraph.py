@@ -703,7 +703,13 @@ def _hits_loop(spark, edges, nodes, n, n_parts, max_iter) -> DataFrame:
             )
             .groupBy("host")
             .agg(F.sum("c").alias("a_raw"))
-            .localCheckpoint()  # eager: consumed by the hub join AND the state
+            # LAZY checkpoint (r6): consumed by the hub join AND the new
+            # state, but a checkpoint shares ONE RDD between them — the
+            # state's materializing aggregate computes a_raw's stages once
+            # inside the same job (the recompute-twice hazard applies to
+            # un-checkpointed frames, which duplicate at the plan level).
+            # Eager here cost one extra job per round for nothing.
+            .localCheckpoint(eager=False)
         )
         araw_handles = caches.checkpoint_handles_since(sc, before)
         # hub ← out-edge authorities (unnormalized a_raw: a global constant,
