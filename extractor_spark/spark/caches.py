@@ -29,8 +29,18 @@ made inside the with-block.  Pinned by tests/test_caches_scope.py.
 from __future__ import annotations
 
 import contextlib
+import threading
 
 LIVE: list = []
+
+# Serializes the snapshot → localCheckpoint → diff capture pattern
+# (persistent_ids / checkpoint_handles_since) for callers that run
+# checkpoint-producing loops CONCURRENTLY (webgraph.spam_mass_ranks runs
+# the pagerank and trustrank loops on two threads).  Without it, thread
+# A's id-diff can capture thread B's just-created checkpoint RDD and later
+# unpersist it out from under B — a lineage-truncated RDD cannot be
+# recomputed.  Uncontended in every single-threaded caller.
+CKPT_LOCK = threading.RLock()
 
 
 def register(handle) -> None:

@@ -3258,7 +3258,7 @@ def _hostgraph_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from . import caches
-    from .webgraph import extract_outlinks, host_graph, pagerank, trustrank
+    from .webgraph import extract_outlinks, host_graph, spam_mass_ranks
 
     pages = _webgraph_pages(spark)
     sc = spark.sparkContext
@@ -3272,10 +3272,12 @@ def _hostgraph_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .where(F.pmod(F.xxhash64("host"), F.lit(4)) == 0)
     )
-    pr = pagerank(edges, max_iter=20, tol=1e-9).withColumnRenamed("rank", "pr")
-    tr = trustrank(edges, seeds, max_iter=20, tol=1e-9).withColumnRenamed(
-        "rank", "tr"
-    )
+    # r6: the two power-iteration loops are data-independent — run them on
+    # two driver threads (webgraph.spam_mass_ranks; bit-identical to the
+    # sequential calls, wall ≈ the slower loop instead of the sum)
+    pr, tr = spam_mass_ranks(edges, seeds, max_iter=20, tol=1e-9)
+    pr = pr.withColumnRenamed("rank", "pr")
+    tr = tr.withColumnRenamed("rank", "tr")
     return (
         pr.join(tr, "host")
         .select(

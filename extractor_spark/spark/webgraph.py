@@ -306,10 +306,25 @@ def pagerank(
     touches every partition, so the checkpoint blocks it persists as a
     side effect are complete) — no per-round semi-join, no separate
     checkpoint job, no extra contrib materialization."""
-    from . import caches
-
     spark = edges.sparkSession
-    sc = spark.sparkContext
+    edges, nodes, n, n_parts = _pagerank_prep(edges)
+    if n == 0:
+        edges.unpersist()
+        return spark.createDataFrame([], "host string, rank double")
+    base = (1.0 - damping) / n
+
+    with scoped_loop_conf(spark, n_parts):
+        return _pagerank_loop(
+            spark, edges, nodes, n, n_parts, base, damping, max_iter, tol
+        )
+
+
+def _pagerank_prep(edges: DataFrame):
+    """Pre-loop sizing shared by :func:`pagerank` and
+    :func:`spam_mass_ranks`: persists the edge frame, builds the node set,
+    counts it, and derives the loop's shuffle width.  ``n == 0`` means the
+    empty graph — the caller unpersists and returns the empty result."""
+    sc = edges.sparkSession.sparkContext
 
     # edges is consumed three times before the loop (node set, dangling
     # flags, transition weights); without a persist each consumer re-runs
@@ -323,19 +338,11 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
-    if n == 0:
-        edges.unpersist()
-        return spark.createDataFrame([], "host string, rank double")
-    base = (1.0 - damping) / n
-
     # r6: the loop's shuffle width follows the graph size, not the core
     # count — 40 rounds of full-width stages over a host-sized frame are
     # pure scheduling overhead at small scale (tuning.py).
-    n_parts = loop_partitions(sc, max(n, edges.count()))
-    with scoped_loop_conf(spark, n_parts):
-        return _pagerank_loop(
-            spark, edges, nodes, n, n_parts, base, damping, max_iter, tol
-        )
+    n_parts = loop_partitions(sc, max(n, edges.count())) if n else 1
+    return edges, nodes, n, n_parts
 
 
 def _pagerank_loop(
@@ -361,16 +368,18 @@ def _pagerank_loop(
     # cache short-circuits execution, not planning.  Truncating the
     # lineage makes each round's plan LogicalRDD-sized (measured ~-1 s
     # per 20-round loop at sf0.1, outputs bit-identical —
-    # scripts/probe_unroll_pagerank.py).
-    before_trans = caches.persistent_ids(sc)
-    trans = trans.localCheckpoint(eager=True)
-    trans_handles = caches.checkpoint_handles_since(sc, before_trans)
+    # scripts/probe_unroll_pagerank.py).  Capture sections hold
+    # caches.CKPT_LOCK so a concurrent loop (spam_mass_ranks) cannot be
+    # cross-captured by this loop's id diff.
+    with caches.CKPT_LOCK:
+        before_trans = caches.persistent_ids(sc)
+        trans = trans.localCheckpoint(eager=True)
+        trans_handles = caches.checkpoint_handles_since(sc, before_trans)
 
     # Dangling = never appears as a source; flagged once, carried in state.
     srcs = edges.select(F.col("src_host").alias("host")).distinct().withColumn(
         "_has_out", F.lit(True)
     )
-    before = caches.persistent_ids(sc)
     ranks = (
         nodes.join(srcs, "host", "left")
         .select(
@@ -378,9 +387,11 @@ def _pagerank_loop(
             F.lit(1.0 / n).alias("rank"),
             (~F.coalesce(F.col("_has_out"), F.lit(False))).alias("is_dangling"),
         )
-        .localCheckpoint(eager=False)
     )
-    prev_handles = caches.checkpoint_handles_since(sc, before)
+    with caches.CKPT_LOCK:
+        before = caches.persistent_ids(sc)
+        ranks = ranks.localCheckpoint(eager=False)
+        prev_handles = caches.checkpoint_handles_since(sc, before)
     dangling_mass = (
         ranks.agg(
             F.coalesce(F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0.0))
@@ -408,9 +419,10 @@ def _pagerank_loop(
                 "is_dangling",
             )
         )
-        before = caches.persistent_ids(sc)
-        new_ranks = new_ranks.localCheckpoint(eager=False)
-        cur_handles = caches.checkpoint_handles_since(sc, before)
+        with caches.CKPT_LOCK:
+            before = caches.persistent_ids(sc)
+            new_ranks = new_ranks.localCheckpoint(eager=False)
+            cur_handles = caches.checkpoint_handles_since(sc, before)
         # the aggregate below is the checkpoint's materializing job; once
         # it returns, the previous round's blocks have no dependents —
         # free them so peak rank storage is 2 rounds (same pattern as
@@ -468,8 +480,22 @@ def trustrank(
     Gyöngyi initialization).  Twin: numpy same-iterate ±1e-12
     (tests/test_webgraph.py).
     """
-    from . import caches
+    spark = edges.sparkSession
+    edges, nodes, seed_df, n_seeds, n_parts = _trustrank_prep(edges, seeds)
+    if n_seeds == 0:
+        edges.unpersist()
+        return spark.createDataFrame([], "host string, rank double")
 
+    with scoped_loop_conf(spark, n_parts):
+        return _trustrank_loop(
+            spark, edges, nodes, seed_df, n_seeds, n_parts, damping, max_iter, tol
+        )
+
+
+def _trustrank_prep(edges: DataFrame, seeds):
+    """Pre-loop sizing shared by :func:`trustrank` and
+    :func:`spam_mass_ranks` — mirrors :func:`_pagerank_prep`.
+    ``n_seeds == 0`` means no seed intersects the graph."""
     spark = edges.sparkSession
     sc = spark.sparkContext
 
@@ -488,16 +514,9 @@ def trustrank(
             [(h,) for h in sorted(set(seeds))], "host string"
         ).withColumn("_seed", F.lit(True))
     n_seeds = nodes.join(F.broadcast(seed_df), "host").count()
-    if n_seeds == 0:
-        edges.unpersist()
-        return spark.createDataFrame([], "host string, rank double")
-
     # r6: scale-adaptive loop width (see pagerank / tuning.py)
-    n_parts = loop_partitions(sc, edges.count())
-    with scoped_loop_conf(spark, n_parts):
-        return _trustrank_loop(
-            spark, edges, nodes, seed_df, n_seeds, n_parts, damping, max_iter, tol
-        )
+    n_parts = loop_partitions(sc, edges.count()) if n_seeds else 1
+    return edges, nodes, seed_df, n_seeds, n_parts
 
 
 def _trustrank_loop(
@@ -518,15 +537,15 @@ def _trustrank_loop(
     )
     # r6: eager localCheckpoint for the same planning-cost reason as
     # _pagerank_loop — a persist keeps the full upstream logical plan in
-    # every round's analysis
-    before_trans = caches.persistent_ids(sc)
-    trans = trans.localCheckpoint(eager=True)
-    trans_handles = caches.checkpoint_handles_since(sc, before_trans)
+    # every round's analysis.  CKPT_LOCK: see _pagerank_loop.
+    with caches.CKPT_LOCK:
+        before_trans = caches.persistent_ids(sc)
+        trans = trans.localCheckpoint(eager=True)
+        trans_handles = caches.checkpoint_handles_since(sc, before_trans)
 
     srcs = edges.select(F.col("src_host").alias("host")).distinct().withColumn(
         "_has_out", F.lit(True)
     )
-    before = caches.persistent_ids(sc)
     ranks = (
         nodes.join(srcs, "host", "left")
         .join(F.broadcast(seed_df), "host", "left")
@@ -538,9 +557,11 @@ def _trustrank_loop(
             (~F.coalesce(F.col("_has_out"), F.lit(False))).alias("is_dangling"),
         )
         .withColumn("rank", F.col("s"))
-        .localCheckpoint(eager=False)
     )
-    prev_handles = caches.checkpoint_handles_since(sc, before)
+    with caches.CKPT_LOCK:
+        before = caches.persistent_ids(sc)
+        ranks = ranks.localCheckpoint(eager=False)
+        prev_handles = caches.checkpoint_handles_since(sc, before)
     dangling_mass = (
         ranks.agg(
             F.coalesce(F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0.0))
@@ -572,9 +593,10 @@ def _trustrank_loop(
                 "s",
             )
         )
-        before = caches.persistent_ids(sc)
-        new_ranks = new_ranks.localCheckpoint(eager=False)
-        cur_handles = caches.checkpoint_handles_since(sc, before)
+        with caches.CKPT_LOCK:
+            before = caches.persistent_ids(sc)
+            new_ranks = new_ranks.localCheckpoint(eager=False)
+            cur_handles = caches.checkpoint_handles_since(sc, before)
         row = new_ranks.agg(
             F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
             F.coalesce(
@@ -595,6 +617,96 @@ def _trustrank_loop(
     for h in prev_handles:
         caches.register(h)
     return ranks.select("host", "rank")
+
+
+def spam_mass_ranks(
+    edges: DataFrame,
+    seeds,
+    damping: float = 0.85,
+    max_iter: int = 40,
+    tol: float = 1e-9,
+) -> tuple[DataFrame, DataFrame]:
+    """PageRank and TrustRank over the SAME edge frame with the two
+    power-iteration loops running CONCURRENTLY on two driver threads —
+    returns ``(pagerank_df, trustrank_df)``.
+
+    The loops are data-independent (they only share the immutable edge
+    frame), and each round is ~45 ms of driver plan compile + one short
+    job, so interleaving them overlaps one loop's driver work with the
+    other's executor work: wall ≈ the slower loop instead of the sum
+    (r6, measured ~−2 s on the sf0.1 spam-mass query).
+
+    Results are bit-identical to sequential ``pagerank()`` +
+    ``trustrank()``:
+
+    - the shared conf scope is entered ONCE with the width both loops
+      derive independently; when the two widths differ (possible on very
+      node-heavy graphs) this falls back to the sequential path, so every
+      plan always compiles under exactly the conf it would have seen
+      sequentially;
+    - each loop's FP math touches only its own state frames;
+    - checkpoint handle capture (a global persistent-RDD id diff) is
+      serialized by ``caches.CKPT_LOCK`` so neither loop can capture — and
+      later release — the other's lineage-truncated checkpoint blocks.
+    """
+    import threading
+
+    spark = edges.sparkSession
+    p_edges, p_nodes, n, p_parts = _pagerank_prep(edges)
+    if n == 0:
+        p_edges.unpersist()
+        return (
+            spark.createDataFrame([], "host string, rank double"),
+            trustrank(edges, seeds, damping, max_iter, tol),
+        )
+    base = (1.0 - damping) / n
+    t_edges, t_nodes, seed_df, n_seeds, t_parts = _trustrank_prep(edges, seeds)
+    if n_seeds == 0:
+        t_edges.unpersist()
+        with scoped_loop_conf(spark, p_parts):
+            pr = _pagerank_loop(
+                spark, p_edges, p_nodes, n, p_parts, base, damping, max_iter, tol
+            )
+        return pr, spark.createDataFrame([], "host string, rank double")
+
+    def run_pr():
+        return _pagerank_loop(
+            spark, p_edges, p_nodes, n, p_parts, base, damping, max_iter, tol
+        )
+
+    def run_tr():
+        return _trustrank_loop(
+            spark, t_edges, t_nodes, seed_df, n_seeds, t_parts, damping, max_iter, tol
+        )
+
+    if p_parts != t_parts:
+        with scoped_loop_conf(spark, p_parts):
+            pr = run_pr()
+        with scoped_loop_conf(spark, t_parts):
+            tr = run_tr()
+        return pr, tr
+
+    results: dict = {}
+    errors: list = []
+
+    def runner(key, fn):
+        try:
+            results[key] = fn()
+        except BaseException as e:  # noqa: BLE001 — re-raised on the caller thread
+            errors.append(e)
+
+    with scoped_loop_conf(spark, p_parts):
+        threads = [
+            threading.Thread(target=runner, args=("pr", run_pr), daemon=True),
+            threading.Thread(target=runner, args=("tr", run_tr), daemon=True),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    if errors:
+        raise errors[0]
+    return results["pr"], results["tr"]
 
 
 # ---------------------------------------------------------------------------
