@@ -168,6 +168,7 @@ def curate(
     decon_benchmarks: str | None = None,
     split: bool = False,
     shuffle_seed: int | None = None,
+    stage_times: dict | None = None,
 ) -> dict:
     """Run the curation funnel over an extract-pipeline output table;
     returns per-stage counts.
@@ -192,13 +193,27 @@ def curate(
       the standard pre-training document shuffle, so a pack mixes hosts
       and sources rather than concatenating one site's pages.  Only
       meaningful with ``pack_budget``.
+    - ``stage_times``: optional dict that receives per-stage wall seconds
+      (measurement aid — does not change execution).
     """
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _mark(label: str) -> None:
+        nonlocal _t0
+        now = _time.time()
+        if stage_times is not None:
+            stage_times[label] = round(now - _t0, 3)
+        _t0 = now
+
     docs = (
         spark.read.parquet(input_path)
         .select("url", "markdown", "text")
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
     )
     stats = {"input_docs": docs.count()}
+    _mark("input")
     sc = spark.sparkContext
     cache_mark = len(caches.LIVE)  # don't touch unrelated queries' caches
     ckpt_handles: list = []
@@ -221,6 +236,7 @@ def curate(
         )
         docs = apply_blocklist(docs, dom, pre)
         stats["after_blocklist"] = docs.count()
+        _mark("blocklist")
 
     # 1. exact dedup (keep min url per fingerprint).  r6: decide on LIGHT
     # (url, md5) rows and attach once — same winner set as the payload
@@ -241,6 +257,7 @@ def curate(
     docs = docs.localCheckpoint(eager=False)
     ckpt_handles += caches.checkpoint_handles_since(sc, before)
     stats["after_exact_dedup"] = docs.count()
+    _mark("exact_dedup")
 
     # 2. near-dup clusters → canonical per cluster (longest text, then url)
     docs.createOrReplaceTempView("curate_docs")
@@ -250,8 +267,10 @@ def curate(
     before = caches.persistent_ids(sc)
     sh = spark.sql(_SHINGLE_SETS_TMPL.format(view="curate_docs")).localCheckpoint()
     sh.createOrReplaceTempView("curate_sh")
+    _mark("shingle_sets")
     bands = spark.sql(_BANDS_SQL).localCheckpoint()
     bands.createOrReplaceTempView("curate_bands")
+    _mark("bands")
     ckpt_handles += caches.checkpoint_handles_since(sc, before)
     # materialize the verified pairs before the CC loop: the verify join is
     # the funnel's most expensive plan, and leaving it lazy re-plans it
@@ -264,6 +283,7 @@ def curate(
         _VERIFIED_PAIRS_TMPL.format(threshold=jaccard_threshold)
     ).localCheckpoint()
     ckpt_handles += caches.checkpoint_handles_since(sc, before)
+    _mark("verified_pairs")
     labels = _components(docs, pairs, components)
     # r6 canonical pick: decide on LIGHT rows, attach once (guide §8).
     # The old form joined the full (url, markdown, text) payload to the
@@ -291,6 +311,7 @@ def curate(
     # write; the stage count below is the materializing job
     ckpt_handles += caches.checkpoint_handles_since(sc, before)
     stats["after_neardup_dedup"] = docs.count()
+    _mark("components_canonical")
     # labels' checkpoint (registered by min_label_components) has no
     # dependents once docs is materialized — release it now
     caches.retire_since(cache_mark)
@@ -310,6 +331,7 @@ def curate(
         (toks >= min_tokens) & (dup_permille <= max_dup_permille)
     )
     stats["after_quality_filter"] = docs.count()
+    _mark("quality_filter")
 
     # 3a. optional benchmark decontamination: drop any doc sharing an
     # 8-token word-gram with a benchmark line (GPT-3 appendix-C whole-doc
@@ -383,6 +405,7 @@ def curate(
     from extractor_spark.spark.sources import write_output
 
     write_output(docs, output_path, fmt="jsonl", partition_col=None)
+    _mark("export")
     stats["output_path"] = output_path
     # the export was the last consumer — release this run's checkpoints
     # (curate owns them end-to-end, unlike lazy-returning queries)
