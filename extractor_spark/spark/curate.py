@@ -126,10 +126,19 @@ def assign_packs(
     distributed prefix sum (per-partition cumsum + broadcast offsets —
     never a single-partition global window; same decomposition as the
     oracle-checked `sequence_packing` query in queries.py).  Adds
-    `n_tokens` and `pack_id` columns."""
-    base = docs.withColumn(
-        "n_tokens", F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
-    )
+    `n_tokens` and `pack_id` columns.
+
+    A caller may pre-compute `n_tokens` (with this exact expression) and
+    pass a frame WITHOUT the text payload: repartitionByRange samples its
+    input with a separate job and the checkpoint stores every column, so
+    a narrow frame skips a full text pass + text-sized block storage
+    (r6 — the sequence_packing query passes (doc_id, n_tokens) only)."""
+    if "n_tokens" in docs.columns:
+        base = docs
+    else:
+        base = docs.withColumn(
+            "n_tokens", F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+        )
     parts = (
         base.repartitionByRange(n_parts, order_col)
         .withColumn("_pid", F.spark_partition_id())

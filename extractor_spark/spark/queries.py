@@ -2371,7 +2371,15 @@ def _sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .curate import assign_packs
 
     _views(spark, sf_dir)
-    docs = spark.table("documents").select("doc_id", "text")
+    # r6: pre-compute n_tokens (assign_packs' exact expression) and pass a
+    # NARROW (doc_id, n_tokens) frame — repartitionByRange's sampling job
+    # and the pack checkpoint otherwise carry the full text payload that
+    # nothing downstream of this query reads.  Values identical, so the
+    # pack assignment and the oracle-checked aggregates are unchanged.
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
     # assign_packs (spark/curate.py) is the single implementation of the
     # two-level distributed prefix sum; its checkpoint blocks are
     # registered for release_query_caches since the result is lazy

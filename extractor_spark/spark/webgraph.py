@@ -784,10 +784,25 @@ def hits(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return out
 
 
+# probe override for the per-round a_raw materialization strategy (None =
+# size-derived; scripts/probe_hits_inline.py forces each arm)
+_HITS_INLINE_OVERRIDE: bool | None = None
+
+
 def _hits_loop(spark, edges, nodes, n, n_parts, max_iter) -> DataFrame:
     from . import caches
 
     sc = spark.sparkContext
+    # In the tiny regime the a_raw subtree is a one-to-few-task join+agg:
+    # recomputing it for its second consumer inside the same job is cheaper
+    # than the ~45 ms/round physical-plan compile the lazy checkpoint call
+    # costs (measured, probe_hits_inline.py).  At real widths the checkpoint
+    # stays — there the recompute is a full extra shuffle's worth of work.
+    # Both forms are bit-identical: the checkpoint only shares an RDD, it
+    # never changes the computed values.
+    inline_araw = (
+        _HITS_INLINE_OVERRIDE if _HITS_INLINE_OVERRIDE is not None else n_parts <= 4
+    )
     w = edges.select("src_host", "dst_host", F.col("n_links").cast("double").alias("w"))
     # r6: eager localCheckpoints (not persists) so each round's plans are
     # LogicalRDD-sized — see _pagerank_loop
@@ -805,7 +820,6 @@ def _hits_loop(spark, edges, nodes, n, n_parts, max_iter) -> DataFrame:
 
     for _ in range(max_iter):
         # authority ← in-edge hubs (input hub scaled to unit L1 mass)
-        before = caches.persistent_ids(sc)
         a_raw = (
             state.select(F.col("host").alias("src_host"), "hub")
             .join(by_src, "src_host")
@@ -815,15 +829,19 @@ def _hits_loop(spark, edges, nodes, n, n_parts, max_iter) -> DataFrame:
             )
             .groupBy("host")
             .agg(F.sum("c").alias("a_raw"))
+        )
+        araw_handles: list = []
+        if not inline_araw:
             # LAZY checkpoint (r6): consumed by the hub join AND the new
             # state, but a checkpoint shares ONE RDD between them — the
             # state's materializing aggregate computes a_raw's stages once
             # inside the same job (the recompute-twice hazard applies to
             # un-checkpointed frames, which duplicate at the plan level).
             # Eager here cost one extra job per round for nothing.
-            .localCheckpoint(eager=False)
-        )
-        araw_handles = caches.checkpoint_handles_since(sc, before)
+            with caches.CKPT_LOCK:
+                before = caches.persistent_ids(sc)
+                a_raw = a_raw.localCheckpoint(eager=False)
+                araw_handles = caches.checkpoint_handles_since(sc, before)
         # hub ← out-edge authorities (unnormalized a_raw: a global constant,
         # absorbed by the final normalization)
         h_raw = (
