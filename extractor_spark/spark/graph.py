@@ -45,7 +45,7 @@ def min_label_components(nodes: DataFrame, pairs: DataFrame, key: str) -> DataFr
     )
     raw.persist()
     n_parts = loop_partitions(sc, raw.count())
-    with scoped_loop_conf(nodes.sparkSession, n_parts):
+    with scoped_loop_conf(nodes.sparkSession, n_parts, codegen=False):
         out = _min_label_loop(nodes, raw, key, sc, n_parts)
     raw.unpersist()
     return out
@@ -177,7 +177,7 @@ def star_components(nodes: DataFrame, pairs: DataFrame, key: str) -> DataFrame:
     # r6: the initial signature's count sizes the loop's shuffle width for
     # free (tuning.py) — star rounds only ever shrink the edge set.
     n_parts = loop_partitions(sc, sig[0])
-    with scoped_loop_conf(spark, n_parts):
+    with scoped_loop_conf(spark, n_parts, codegen=False):
         while True:
             before = caches.persistent_ids(sc)
             # lazy checkpoint: the signature aggregate is its materializing

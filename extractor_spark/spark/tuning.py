@@ -45,17 +45,37 @@ def loop_partitions(sc, n_rows: int, rows_per_partition: int = ROWS_PER_PARTITIO
 
 
 @contextmanager
-def scoped_loop_conf(spark, n_parts: int):
+def scoped_loop_conf(spark, n_parts: int, codegen: bool = True):
     """Scope ``spark.sql.shuffle.partitions`` (and, in the tiny regime,
-    AQE) to an iterative loop; always restores the previous values."""
+    AQE) to an iterative loop; always restores the previous values.
+
+    ``codegen=False`` (graph loops only) additionally disables whole-stage
+    and expression codegen IN THE TINY REGIME: every round's plan embeds
+    fresh literals (the previous round's scalar), so Janino compiles new
+    classes each round with zero cache hits — tens of ms per stage to
+    execute over a host-sized frame where interpreted evaluation is
+    trivially cheap.  Execution strategy only, results identical (same
+    expression tree, same FP op order).  Loops whose per-row work is
+    heavy (BPE's symbol-array fold, incdedup's signature hashing) keep
+    codegen — there the compiled inner loop pays for itself."""
     conf = spark.conf
     old_parts = conf.get("spark.sql.shuffle.partitions")
     old_aqe = conf.get("spark.sql.adaptive.enabled")
+    no_cg = not codegen and n_parts <= 4
+    if no_cg:
+        old_wscg = conf.get("spark.sql.codegen.wholeStage")
+        old_fact = conf.get("spark.sql.codegen.factoryMode")
     conf.set("spark.sql.shuffle.partitions", str(n_parts))
     if n_parts <= 4:
         conf.set("spark.sql.adaptive.enabled", "false")
+    if no_cg:
+        conf.set("spark.sql.codegen.wholeStage", "false")
+        conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try:
         yield
     finally:
         conf.set("spark.sql.shuffle.partitions", old_parts)
         conf.set("spark.sql.adaptive.enabled", old_aqe)
+        if no_cg:
+            conf.set("spark.sql.codegen.wholeStage", old_wscg)
+            conf.set("spark.sql.codegen.factoryMode", old_fact)

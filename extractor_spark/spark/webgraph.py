@@ -313,7 +313,7 @@ def pagerank(
         return spark.createDataFrame([], "host string, rank double")
     base = (1.0 - damping) / n
 
-    with scoped_loop_conf(spark, n_parts):
+    with scoped_loop_conf(spark, n_parts, codegen=False):
         return _pagerank_loop(
             spark, edges, nodes, n, n_parts, base, damping, max_iter, tol
         )
@@ -486,7 +486,7 @@ def trustrank(
         edges.unpersist()
         return spark.createDataFrame([], "host string, rank double")
 
-    with scoped_loop_conf(spark, n_parts):
+    with scoped_loop_conf(spark, n_parts, codegen=False):
         return _trustrank_loop(
             spark, edges, nodes, seed_df, n_seeds, n_parts, damping, max_iter, tol
         )
@@ -663,7 +663,7 @@ def spam_mass_ranks(
     t_edges, t_nodes, seed_df, n_seeds, t_parts = _trustrank_prep(edges, seeds)
     if n_seeds == 0:
         t_edges.unpersist()
-        with scoped_loop_conf(spark, p_parts):
+        with scoped_loop_conf(spark, p_parts, codegen=False):
             pr = _pagerank_loop(
                 spark, p_edges, p_nodes, n, p_parts, base, damping, max_iter, tol
             )
@@ -680,9 +680,9 @@ def spam_mass_ranks(
         )
 
     if p_parts != t_parts:
-        with scoped_loop_conf(spark, p_parts):
+        with scoped_loop_conf(spark, p_parts, codegen=False):
             pr = run_pr()
-        with scoped_loop_conf(spark, t_parts):
+        with scoped_loop_conf(spark, t_parts, codegen=False):
             tr = run_tr()
         return pr, tr
 
@@ -695,7 +695,7 @@ def spam_mass_ranks(
         except BaseException as e:  # noqa: BLE001 — re-raised on the caller thread
             errors.append(e)
 
-    with scoped_loop_conf(spark, p_parts):
+    with scoped_loop_conf(spark, p_parts, codegen=False):
         threads = [
             threading.Thread(target=runner, args=("pr", run_pr), daemon=True),
             threading.Thread(target=runner, args=("tr", run_tr), daemon=True),
@@ -775,7 +775,7 @@ def hits(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
     # r6: scale-adaptive loop width (see pagerank / tuning.py)
     n_parts = loop_partitions(sc, max(n, edges.count()))
-    with scoped_loop_conf(spark, n_parts):
+    with scoped_loop_conf(spark, n_parts, codegen=False):
         out = _hits_loop(spark, edges, nodes, n, n_parts, max_iter)
     # the final state checkpoint (registered by the loop) backs the lazy
     # result; the node frame does not — free it now
