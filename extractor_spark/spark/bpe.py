@@ -128,23 +128,24 @@ def learn_bpe(docs: DataFrame, n_merges: int = 24) -> list[tuple[int, str, str, 
 
 def _learn_bpe_loop(sc, state, cur_handles, grand_handles, n_merges, caches):
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(n_merges):
-        pairs = (
-            state.select(
-                "cnt",
-                F.explode(
-                    F.zip_with(
-                        F.slice(F.col("sym"), 1, F.greatest(F.size("sym") - 1, F.lit(0))),
-                        F.slice(F.col("sym"), 2, F.greatest(F.size("sym") - 1, F.lit(0))),
-                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("cnt").alias("n"))
+    # loop-invariant Columns hoisted out of the rounds (r6): Columns are
+    # immutable and reusable across DataFrames, and each F.* call is a py4j
+    # round-trip — only the merge fold depends on the round's argmax
+    c_pairs = F.explode(
+        F.zip_with(
+            F.slice(F.col("sym"), 1, F.greatest(F.size("sym") - 1, F.lit(0))),
+            F.slice(F.col("sym"), 2, F.greatest(F.size("sym") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
         )
+    ).alias("p")
+    c_l = F.col("p.l").alias("l")
+    c_r = F.col("p.r").alias("r")
+    c_n = F.sum("cnt").alias("n")
+    c_order = F.col("n").desc()
+    for rank in range(n_merges):
+        pairs = state.select("cnt", c_pairs).groupBy(c_l, c_r).agg(c_n)
         # the ONE action of the round: materializes state's checkpoint
-        best = pairs.orderBy(F.col("n").desc(), "l", "r").limit(1).collect()
+        best = pairs.orderBy(c_order, "l", "r").limit(1).collect()
         for h in grand_handles:
             h.unpersist()
         grand_handles = []

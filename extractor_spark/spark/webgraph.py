@@ -398,22 +398,38 @@ def _pagerank_loop(
         ).first()[0]
     )
 
+    # Loop-invariant Column objects hoisted out of the rounds (r6): Columns
+    # are immutable and reusable across DataFrames, and every F.* call is a
+    # py4j round-trip — per-round expression building was a measurable slice
+    # of the ~150 ms/round driver floor.  Only the dangling-mass literal is
+    # rebuilt per round.
+    c_dst = F.col("dst_host").alias("host")
+    c_contrib_in = (F.col("rank") * F.col("w")).alias("c")
+    c_contrib = F.sum("c").alias("contrib")
+    c_old_rank = F.col("rank").alias("old_rank")
+    c_base = F.lit(base)
+    c_damping = F.lit(damping)
+    c_coalesce0 = F.coalesce("contrib", F.lit(0.0))
+    c_delta = F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta")
+    c_dangling = F.coalesce(
+        F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0.0)
+    ).alias("dangling")
+
     for _ in range(max_iter):
         contrib = (
             ranks.join(trans, "host")
-            .select(F.col("dst_host").alias("host"), (F.col("rank") * F.col("w")).alias("c"))
+            .select(c_dst, c_contrib_in)
             .groupBy("host")
-            .agg(F.sum("c").alias("contrib"))
+            .agg(c_contrib)
         )
         new_ranks = (
-            ranks.select("host", F.col("rank").alias("old_rank"), "is_dangling")
+            ranks.select("host", c_old_rank, "is_dangling")
             .join(contrib, "host", "left")
             .select(
                 "host",
                 (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling_mass / n))
+                    c_base
+                    + c_damping * (c_coalesce0 + F.lit(dangling_mass / n))
                 ).alias("rank"),
                 "old_rank",
                 "is_dangling",
@@ -427,12 +443,7 @@ def _pagerank_loop(
         # it returns, the previous round's blocks have no dependents —
         # free them so peak rank storage is 2 rounds (same pattern as
         # graph.min_label_components)
-        row = new_ranks.agg(
-            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
-            F.coalesce(
-                F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0.0)
-            ).alias("dangling"),
-        ).first()
+        row = new_ranks.agg(c_delta, c_dangling).first()
         delta, dangling_mass = row["delta"], row["dangling"]
         ranks = new_ranks.select("host", "rank", "is_dangling")
         for h in prev_handles:
@@ -568,25 +579,35 @@ def _trustrank_loop(
         ).first()[0]
     )
 
+    # loop-invariant Columns hoisted — see _pagerank_loop (r6)
+    c_dst = F.col("dst_host").alias("host")
+    c_contrib_in = (F.col("rank") * F.col("w")).alias("c")
+    c_contrib = F.sum("c").alias("contrib")
+    c_old_rank = F.col("rank").alias("old_rank")
+    c_teleport = F.lit(1.0 - damping) * F.col("s")
+    c_damping = F.lit(damping)
+    c_coalesce0 = F.coalesce("contrib", F.lit(0.0))
+    c_s = F.col("s")
+    c_delta = F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta")
+    c_dangling = F.coalesce(
+        F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0.0)
+    ).alias("dangling")
+
     for _ in range(max_iter):
         contrib = (
             ranks.join(trans, "host")
-            .select(F.col("dst_host").alias("host"), (F.col("rank") * F.col("w")).alias("c"))
+            .select(c_dst, c_contrib_in)
             .groupBy("host")
-            .agg(F.sum("c").alias("contrib"))
+            .agg(c_contrib)
         )
         new_ranks = (
-            ranks.select("host", F.col("rank").alias("old_rank"), "is_dangling", "s")
+            ranks.select("host", c_old_rank, "is_dangling", "s")
             .join(contrib, "host", "left")
             .select(
                 "host",
                 (
-                    F.lit(1.0 - damping) * F.col("s")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce("contrib", F.lit(0.0))
-                        + F.lit(dangling_mass) * F.col("s")
-                    )
+                    c_teleport
+                    + c_damping * (c_coalesce0 + F.lit(dangling_mass) * c_s)
                 ).alias("rank"),
                 "old_rank",
                 "is_dangling",
@@ -597,12 +618,7 @@ def _trustrank_loop(
             before = caches.persistent_ids(sc)
             new_ranks = new_ranks.localCheckpoint(eager=False)
             cur_handles = caches.checkpoint_handles_since(sc, before)
-        row = new_ranks.agg(
-            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
-            F.coalesce(
-                F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0.0)
-            ).alias("dangling"),
-        ).first()
+        row = new_ranks.agg(c_delta, c_dangling).first()
         delta, dangling_mass = row["delta"], row["dangling"]
         ranks = new_ranks.select("host", "rank", "is_dangling", "s")
         for h in prev_handles:
@@ -818,17 +834,30 @@ def _hits_loop(spark, edges, nodes, n, n_parts, max_iter) -> DataFrame:
     prev_handles = caches.checkpoint_handles_since(sc, before)
     sh = state.agg(F.sum("hub")).first()[0]
 
+    # loop-invariant Columns hoisted — see _pagerank_loop (r6); only the
+    # 1/sh literal is rebuilt per round
+    c_src = F.col("host").alias("src_host")
+    c_dst = F.col("dst_host").alias("host")
+    c_sum_a = F.sum("c").alias("a_raw")
+    c_dst2 = F.col("host").alias("dst_host")
+    c_src2 = F.col("src_host").alias("host")
+    c_hraw_in = (F.col("a_raw") * F.col("w")).alias("c")
+    c_sum_h = F.sum("c").alias("h_raw")
+    c_hub_out = F.coalesce("h_raw", F.lit(0.0)).alias("hub")
+    c_auth_out = F.coalesce("a_raw", F.lit(0.0)).alias("authority")
+    c_sum_hub = F.sum("hub")
+
     for _ in range(max_iter):
         # authority ← in-edge hubs (input hub scaled to unit L1 mass)
         a_raw = (
-            state.select(F.col("host").alias("src_host"), "hub")
+            state.select(c_src, "hub")
             .join(by_src, "src_host")
             .select(
-                F.col("dst_host").alias("host"),
+                c_dst,
                 (F.col("hub") * F.lit(1.0 / sh) * F.col("w")).alias("c"),
             )
             .groupBy("host")
-            .agg(F.sum("c").alias("a_raw"))
+            .agg(c_sum_a)
         )
         araw_handles: list = []
         if not inline_araw:
@@ -845,28 +874,22 @@ def _hits_loop(spark, edges, nodes, n, n_parts, max_iter) -> DataFrame:
         # hub ← out-edge authorities (unnormalized a_raw: a global constant,
         # absorbed by the final normalization)
         h_raw = (
-            a_raw.select(F.col("host").alias("dst_host"), "a_raw")
+            a_raw.select(c_dst2, "a_raw")
             .join(by_dst, "dst_host")
-            .select(
-                F.col("src_host").alias("host"),
-                (F.col("a_raw") * F.col("w")).alias("c"),
-            )
+            .select(c_src2, c_hraw_in)
             .groupBy("host")
-            .agg(F.sum("c").alias("h_raw"))
+            .agg(c_sum_h)
         )
-        before = caches.persistent_ids(sc)
         state = (
             nodes.join(a_raw, "host", "left")
             .join(h_raw, "host", "left")
-            .select(
-                "host",
-                F.coalesce("h_raw", F.lit(0.0)).alias("hub"),
-                F.coalesce("a_raw", F.lit(0.0)).alias("authority"),
-            )
-            .localCheckpoint(eager=False)
+            .select("host", c_hub_out, c_auth_out)
         )
-        cur_handles = caches.checkpoint_handles_since(sc, before)
-        sh = state.agg(F.sum("hub")).first()[0]
+        with caches.CKPT_LOCK:
+            before = caches.persistent_ids(sc)
+            state = state.localCheckpoint(eager=False)
+            cur_handles = caches.checkpoint_handles_since(sc, before)
+        sh = state.agg(c_sum_hub).first()[0]
         for h in prev_handles:
             h.unpersist()
         for h in araw_handles:
