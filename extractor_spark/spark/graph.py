@@ -45,7 +45,13 @@ def min_label_components(nodes: DataFrame, pairs: DataFrame, key: str) -> DataFr
     )
     raw.persist()
     n_parts = loop_partitions(sc, raw.count())
-    with scoped_loop_conf(nodes.sparkSession, n_parts, codegen=False):
+    # NOTE: codegen stays ON here (unlike the webgraph loops, which pass
+    # codegen=False): the loop width follows the EDGE count but each round
+    # projects the NODE-sized label frame (94k rows at curate bench scale
+    # behind a 1-partition edge table), where interpreted evaluation
+    # measured ~+0.7 s on the curate components stage — and at 2-4 rounds
+    # the per-round Janino saving is small anyway (r6 session 2).
+    with scoped_loop_conf(nodes.sparkSession, n_parts):
         out = _min_label_loop(nodes, raw, key, sc, n_parts)
     raw.unpersist()
     return out
@@ -177,7 +183,7 @@ def star_components(nodes: DataFrame, pairs: DataFrame, key: str) -> DataFrame:
     # r6: the initial signature's count sizes the loop's shuffle width for
     # free (tuning.py) — star rounds only ever shrink the edge set.
     n_parts = loop_partitions(sc, sig[0])
-    with scoped_loop_conf(spark, n_parts, codegen=False):
+    with scoped_loop_conf(spark, n_parts):
         while True:
             before = caches.persistent_ids(sc)
             # lazy checkpoint: the signature aggregate is its materializing
