@@ -203,12 +203,43 @@ def dedup_batch(
             docs, batch_sh, batch_bands, store_sh, store_bands, threshold
         ).localCheckpoint(eager=True)
         if append:
-            batch_sh.write.mode("overwrite").parquet(
-                os.path.join(sh_dir, f"batch={int(batch_id)}")
-            )
-            batch_bands.write.mode("overwrite").parquet(
-                os.path.join(bands_dir, f"batch={int(batch_id)}")
-            )
+            # The two store tables live in independent dirs — write them on
+            # two driver threads (r6: saves ~0.15 s/batch of sequential job
+            # latency).  Both writes read their already-persisted batch
+            # frames, and the verdicts are an eager checkpoint above, so
+            # the writes' refreshByPath cannot reach them; content and
+            # layout per dir are identical to the sequential writes.
+            import threading
+
+            errs: list = []
+
+            def _w(df, path):
+                try:
+                    df.write.mode("overwrite").parquet(path)
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    errs.append(e)
+
+            ts = [
+                threading.Thread(
+                    target=_w,
+                    args=(batch_sh, os.path.join(sh_dir, f"batch={int(batch_id)}")),
+                    daemon=True,
+                ),
+                threading.Thread(
+                    target=_w,
+                    args=(
+                        batch_bands,
+                        os.path.join(bands_dir, f"batch={int(batch_id)}"),
+                    ),
+                    daemon=True,
+                ),
+            ]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            if errs:
+                raise errs[0]
         return out
     finally:
         batch_sh.unpersist()
